@@ -1,0 +1,151 @@
+"""Command-line interface mirroring the reference 1:1.
+
+Flag surface, duplicate/conflict validation, fixed pipeline order, ``.out``
+output naming, stdout error messages, and exit codes all match
+``ppmx-edward.c:117-205`` (errors print to STDOUT and exit 255; success exits
+0 — quirk B3). Divergences: bug B1 is fixed (flips compose after gray/mono)
+and unsafe inputs are rejected instead of invoking UB (B4).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from imageprocessingtools_tpu.codec.ppm import PPMError, read_ppm, write_ppm
+from imageprocessingtools_tpu.pipeline import PipelineConfig, run_pipeline
+
+USAGE = (
+    "ppmx-edward [options] (input filename)\n"
+    "Options -fv  Flip vertically\n"
+    "        -fh  Flip horizontally\n"
+    "        -w(new width) Scale to the new width\n"
+    "        -w100 means new width is 100\n"
+    "        -r(angle)  Rotate (CW)\n"
+    "        -r30 means rotate 30 degree CW.\n"
+    "        -mono Convert to bilevel (.pbm) format\n"
+    "        -gray  Convert to grayscale (.pgm) format\n"
+)
+
+
+class _CliError(Exception):
+    def __init__(self, message: str, show_usage: bool = False):
+        super().__init__(message)
+        self.message = message
+        self.show_usage = show_usage
+
+
+def _parse_args(argv: list[str]) -> tuple[PipelineConfig, str]:
+    """Replicates the char-by-char argv scan (``ppmx-edward.c:125-183``)."""
+    flip_v = flip_h = gray = mono = False
+    new_width: int | None = None
+    angle: float | None = None
+    filename: str | None = None
+
+    for arg in argv:
+        if arg.startswith("-"):
+            rest = arg[1:]
+            if rest[:1] == "f":
+                sub = rest[1:2]
+                if sub == "h":
+                    if flip_h:
+                        raise _CliError("Error: Duplicate options not allowed\n")
+                    if flip_v:
+                        raise _CliError("Error: Conflicting options not allowed\n")
+                    flip_h = True
+                elif sub == "v":
+                    if flip_v:
+                        raise _CliError("Error: Duplicate options not allowed\n")
+                    if flip_h:
+                        raise _CliError("Error: Conflicting options not allowed\n")
+                    flip_v = True
+                else:
+                    raise _CliError(
+                        "Error: invalid option for flip.\n"
+                        "allowed options are -fh -fv only.\n"
+                    )
+            elif rest[:1] == "w":
+                digits = rest[1:]
+                if not all(c.isdigit() for c in digits):
+                    raise _CliError("Error: invalid option for scaling.\n")
+                if new_width is not None:
+                    raise _CliError("Error: Duplicate options not allowed\n")
+                # atoi("") == 0 in the ref; 0 is rejected later by the
+                # pipeline with "invalid option for new width".
+                new_width = int(digits) if digits else 0
+            elif rest[:1] == "r":
+                digits = rest[1:]
+                if digits == "":
+                    raise _CliError("Error: invalid option for rotate\n")
+                if angle is not None:
+                    raise _CliError("Error: Duplicate options not allowed\n")
+                if not all(c.isdigit() for c in digits):
+                    raise _CliError("Error: invalid option for rotate.\n")
+                value = int(digits)
+                if value < 0 or value >= 360:
+                    raise _CliError("Error: invalid option for rotate.\n")
+                angle = float(value)
+            elif rest == "gray":
+                if gray:
+                    raise _CliError("Error: Duplicate options not allowed\n")
+                if mono:
+                    raise _CliError("Error: Conflicting options not allowed\n")
+                gray = True
+            elif rest == "mono":
+                if mono:
+                    raise _CliError("Error: Duplicate options not allowed\n")
+                if gray:
+                    raise _CliError("Error: Conflicting options not allowed\n")
+                mono = True
+            else:
+                raise _CliError(
+                    "Error: invalid option: %s\n" % rest, show_usage=True
+                )
+        else:
+            if filename is not None:
+                raise _CliError("Error: invalid options\n")
+            filename = arg
+
+    if filename is None:
+        raise _CliError("", show_usage=True)
+
+    config = PipelineConfig(
+        new_width=new_width,
+        angle=angle,
+        gray=gray,
+        mono=mono,
+        flip_v=flip_v,
+        flip_h=flip_h,
+    )
+    return config, filename
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    try:
+        config, filename = _parse_args(argv)
+    except _CliError as e:
+        sys.stdout.write(e.message)
+        if e.show_usage:
+            sys.stdout.write(USAGE)
+        return 255
+
+    try:
+        img, max_color = read_ppm(filename)
+        result, file_type = run_pipeline(img, config)
+        write_ppm(
+            filename + ".out",
+            np.asarray(result),
+            file_type=file_type,
+            max_color=max_color,  # pass-through, quirk B5
+        )
+    except (PPMError, ValueError) as e:
+        message = e.message if isinstance(e, PPMError) else str(e)
+        sys.stdout.write(message)
+        return 255
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

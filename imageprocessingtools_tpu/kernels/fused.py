@@ -1,0 +1,31 @@
+"""Flagship fused pipeline: grayscale -> 5x5 Gaussian -> histogram equalize.
+
+This is the benchmark pipeline from BASELINE.json (>= 1 GPix/s/chip at 4K).
+The XLA version below expresses the whole pipeline as one jitted graph so XLA
+fuses the elementwise stages into the stencil reads; the histogram is a
+compare-and-reduce (no scatter). Variants with Pallas kernels live beside it;
+`bench.py` picks the fastest.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from imageprocessingtools_tpu.ops.color import grayscale
+from imageprocessingtools_tpu.ops.histogram import _equalize_lut, histogram
+from imageprocessingtools_tpu.ops.stencil import gaussian_blur
+
+
+def fused_pipeline_xla(img: jnp.ndarray) -> jnp.ndarray:
+    """uint8[H, W, 3] -> uint8[H, W]; traceable (jit/vmap/shard_map-safe)."""
+    g = grayscale(img)
+    blurred = gaussian_blur(g)
+    n_pixels = 1
+    for d in blurred.shape:
+        n_pixels *= int(d)
+    lut = _equalize_lut(histogram(blurred), n_pixels)
+    return jnp.take(lut, blurred.astype(jnp.int32), axis=0)
+
+
+fused_gray_gauss_histeq = jax.jit(fused_pipeline_xla)

@@ -1,0 +1,109 @@
+"""Separable bicubic resize as two MXU matmuls.
+
+The reference precomputes per-output-row tap indices/weights and applies them
+with scalar loops (``ppmx-edward.c:516-641, 808-872``). The TPU-idiomatic form
+scatters those taps into dense weight matrices ``W_h [outH, H]`` and
+``W_w [outW, W]`` on host (float64, exact — `ops/_exact`), and applies
+``quantize(W_h @ img)`` then ``quantize(img @ W_w^T)`` on device — each pass a
+single dense matmul on the MXU, with the reference's uint8 requantization
+between passes and its pass order (smaller scale factor first,
+``ppmx-edward.c:1102-1120``).
+
+float32 accumulation vs the C double carries the documented +-1 LSB budget;
+the contributions themselves (indices, weights, pruning) are exact.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imageprocessingtools_tpu.ops import _exact
+from imageprocessingtools_tpu.ops.common import quantize_u8
+
+
+@functools.lru_cache(maxsize=32)
+def _resize_plan_arrays(height: int, width: int, new_width: int):
+    plan = _exact.plan_resize(height, width, new_width)
+    mats = []
+    for dim, contrib in plan.passes:
+        in_size = height if dim == 0 else width
+        mats.append((dim, jnp.asarray(_exact.dense_weights(contrib, in_size).astype(np.float32))))
+    return plan.new_height, plan.new_width, tuple(mats)
+
+
+def _apply_pass(img: jnp.ndarray, weight: jnp.ndarray, dim: int) -> jnp.ndarray:
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[:, :, None]
+    src = img.astype(jnp.float32)
+    # precision=HIGHEST: full-f32 MXU passes. The TPU default (bf16 inputs)
+    # would blow the +-1 LSB parity budget; HIGHEST stays exact to f32.
+    if dim == 0:
+        # out[o, w, c] = sum_h W[o, h] * img[h, w, c]
+        acc = jnp.einsum(
+            "oh,hwc->owc",
+            weight,
+            src,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        # out[h, o, c] = sum_w img[h, w, c] * W[o, w]
+        acc = jnp.einsum(
+            "ow,hwc->hoc",
+            weight,
+            src,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+    out = quantize_u8(acc)
+    return out[:, :, 0] if squeeze else out
+
+
+def resize_width(img: jnp.ndarray, new_width: int) -> jnp.ndarray:
+    """Resize to ``new_width``; height = trunc(H * new_width / W) (B6).
+
+    Matches ``-wN``: MATLAB-imresize-compatible bicubic with antialiasing on
+    downscale and mirror boundaries.
+    """
+    _, _, mats = _resize_plan_arrays(img.shape[0], img.shape[1], int(new_width))
+    out = img
+    for dim, weight in mats:
+        out = _apply_pass(out, weight, dim)
+    return out
+
+
+@functools.lru_cache(maxsize=32)
+def _resize_hw_plan_arrays(height: int, width: int, new_height: int, new_width: int):
+    """General (H, W) target: both passes, smaller scale first."""
+    scale_h = float(new_height) / float(height)
+    scale_w = float(new_width) / float(width)
+    contrib_h = _exact.calc_contributions(height, new_height, scale_h)
+    contrib_w = _exact.calc_contributions(width, new_width, scale_w)
+    passes = (
+        ((0, contrib_h), (1, contrib_w))
+        if scale_h < scale_w
+        else ((1, contrib_w), (0, contrib_h))
+    )
+    mats = []
+    for dim, contrib in passes:
+        in_size = height if dim == 0 else width
+        mats.append((dim, jnp.asarray(_exact.dense_weights(contrib, in_size).astype(np.float32))))
+    return tuple(mats)
+
+
+def resize(img: jnp.ndarray, new_height: int, new_width: int) -> jnp.ndarray:
+    """Library extension: resize to an explicit (new_height, new_width)."""
+    if int(new_height) < 1 or int(new_width) < 1:
+        raise ValueError("invalid option for new width\n")
+    mats = _resize_hw_plan_arrays(
+        img.shape[0], img.shape[1], int(new_height), int(new_width)
+    )
+    out = img
+    for dim, weight in mats:
+        out = _apply_pass(out, weight, dim)
+    return out

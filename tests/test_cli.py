@@ -1,0 +1,156 @@
+"""CLI parity: flag parsing, error messages, exit codes, output files.
+
+Compares our CLI's observable behavior (stdout text, exit code, ``.out``
+bytes) with the C reference for all arg-validation paths, and byte-compares
+outputs for full flows where the reference is bug-free (B1 combos excluded).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from imageprocessingtools_tpu import cli
+from imageprocessingtools_tpu.codec import ppm
+from tests.conftest import make_gradient, make_image
+
+
+def run_ours(tmp_path, ppm_bytes, args, capsys, name="in.ppm"):
+    in_path = os.path.join(str(tmp_path), name)
+    with open(in_path, "wb") as f:
+        f.write(ppm_bytes)
+    code = cli.main(args + [in_path])
+    stdout = capsys.readouterr().out
+    out_path = in_path + ".out"
+    out_bytes = None
+    if os.path.exists(out_path):
+        with open(out_path, "rb") as f:
+            out_bytes = f.read()
+        os.remove(out_path)
+    os.remove(in_path)
+    return code, stdout, out_bytes
+
+
+ARG_ERROR_CASES = [
+    ["-fh", "-fh"],
+    ["-fv", "-fv"],
+    ["-fh", "-fv"],
+    ["-fx"],
+    ["-f"],
+    ["-w12x"],
+    ["-w10", "-w20"],
+    ["-r"],
+    ["-r45x"],
+    ["-r360"],
+    ["-r30", "-r60"],
+    ["-gray", "-gray"],
+    ["-gray", "-mono"],
+    ["-mono", "-gray"],
+    ["-bogus"],
+    ["-w0"],
+    ["-w"],
+]
+
+
+@pytest.mark.parametrize("args", ARG_ERROR_CASES, ids=lambda a: "_".join(a))
+def test_arg_errors_match_reference(ref_runner, tmp_path, capsys, args):
+    img = make_image(4, 4)
+    data = ppm.encode_ppm(img)
+    ref_code, ref_stdout, ref_out = ref_runner.run(data, args)
+    our_code, our_stdout, our_out = run_ours(tmp_path, data, args, capsys)
+    assert our_code == ref_code == 255
+    assert our_stdout == ref_stdout
+    assert ref_out is None and our_out is None
+
+
+def test_no_args_usage(ref_runner, capsys):
+    import subprocess
+
+    proc = subprocess.run([ref_runner.binary], capture_output=True)
+    our_code = cli.main([])
+    our_stdout = capsys.readouterr().out
+    assert our_code == 255 and proc.returncode == 255
+    assert our_stdout == proc.stdout.decode()
+
+
+def test_two_filenames(ref_runner, tmp_path, capsys):
+    img = make_image(4, 4)
+    data = ppm.encode_ppm(img)
+    ref_code, ref_stdout, _ = ref_runner.run(data, ["-gray", "extra.ppm"])
+    # ref: second positional arg -> "Error: invalid options"
+    our_code = cli.main(["-gray", "a.ppm", "b.ppm"])
+    our_stdout = capsys.readouterr().out
+    assert our_code == ref_code == 255
+    assert our_stdout == ref_stdout
+
+
+FLOW_CASES = [
+    ["-gray"],
+    ["-mono"],
+    ["-fv"],
+    ["-fh"],
+    ["-r90"],
+    ["-r180"],
+    ["-r270"],
+    ["-r0"],
+    ["-w10"],
+    ["-w24"],
+    ["-w10", "-gray"],
+    ["-r90", "-mono"],
+    ["-w20", "-r45", "-gray", "-fh"],
+    ["-gray", "-w10"],  # CLI order != pipeline order (fixed order wins)
+]
+
+
+@pytest.mark.parametrize("args", FLOW_CASES, ids=lambda a: "_".join(a))
+def test_full_flows_byte_identical(ref_runner, tmp_path, capsys, args):
+    img = make_gradient(16, 12)
+    data = ppm.encode_ppm(img)
+    ref_code, ref_stdout, ref_out = ref_runner.run(data, args)
+    our_code, our_stdout, our_out = run_ours(tmp_path, data, args, capsys)
+    assert (our_code, our_stdout) == (ref_code, ref_stdout)
+    assert ref_out is not None and our_out is not None
+    if any(a in ("-w10", "-w24", "-w20") or a.startswith("-r4") for a in args):
+        # float ops: compare headers byte-exact, payload within +-1
+        ref_head, ref_pay = ref_out.split(b"\n", 3)[:3], ref_out.split(b"\n", 3)[3]
+        our_head, our_pay = our_out.split(b"\n", 3)[:3], our_out.split(b"\n", 3)[3]
+        assert ref_head == our_head
+        assert len(ref_pay) == len(our_pay)
+        if b"P4" in ref_out[:3]:
+            assert ref_pay == our_pay
+        else:
+            a = np.frombuffer(ref_pay, np.uint8).astype(np.int16)
+            b = np.frombuffer(our_pay, np.uint8).astype(np.int16)
+            # P5/P6 payloads may include a maxval line; strip identically
+            assert np.abs(a - b).max() <= 1
+    else:
+        assert ref_out == our_out
+
+
+def test_maxval_passthrough_in_output(ref_runner, tmp_path, capsys):
+    """B5: input maxval 1000 is re-emitted in the output header."""
+    img = make_image(4, 4)
+    data = b"P6\n4 4\n1000\n" + img.tobytes()
+    ref_code, _, ref_out = ref_runner.run(data, ["-fv"])
+    our_code, _, our_out = run_ours(tmp_path, data, ["-fv"], capsys)
+    assert ref_code == our_code == 0
+    assert b"\n1000\n" in ref_out and ref_out == our_out
+
+
+def test_missing_file(ref_runner, tmp_path, capsys):
+    import subprocess
+
+    proc = subprocess.run(
+        [ref_runner.binary, "-gray", str(tmp_path / "nope.ppm")], capture_output=True
+    )
+    our_code = cli.main(["-gray", str(tmp_path / "nope2.ppm")])
+    our_stdout = capsys.readouterr().out
+    assert our_code == proc.returncode == 255
+    assert our_stdout == proc.stdout.decode()
+
+
+def test_bad_magic_flow(ref_runner, tmp_path, capsys):
+    data = b"P5\n2 2\n255\n" + b"\x00" * 4
+    ref_code, ref_stdout, _ = ref_runner.run(data, ["-gray"])
+    our_code, our_stdout, _ = run_ours(tmp_path, data, ["-gray"], capsys)
+    assert (our_code, our_stdout) == (ref_code, ref_stdout)

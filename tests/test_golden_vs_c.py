@@ -1,0 +1,196 @@
+"""Differential suite: golden numpy model vs the compiled C reference binary.
+
+Every reference op is checked BIT-EXACT (including resize and arbitrary
+rotation, which the golden model reproduces with the C's float64 accumulation
+order). This validates the golden model as the oracle for the device suites.
+"""
+
+import numpy as np
+import pytest
+
+from imageprocessingtools_tpu.codec import ppm
+from imageprocessingtools_tpu.golden import model as golden
+from tests.conftest import SHAPES, SHAPES_ROT, make_gradient, make_image
+
+
+def _p6(img):
+    return ppm.encode_ppm(img, ppm.FILETYPE_PPM)
+
+
+def _decode_out(out_bytes, expect_magic):
+    assert out_bytes is not None
+    assert out_bytes.startswith(expect_magic)
+    # Parse the oracle's fixed header layout: magic\n#comment\nW H\n[maxval\n]
+    lines = out_bytes.split(b"\n", 3)
+    w, h = (int(t) for t in lines[2].split(b" ") if t)
+    if expect_magic == b"P4":
+        payload = lines[3]
+        return h, w, payload
+    maxval, payload = lines[3].split(b"\n", 1)
+    assert int(maxval) == 255
+    return h, w, payload
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+def test_gray(ref_runner, shape):
+    img = make_image(*shape)
+    code, _, out = ref_runner.run(_p6(img), ["-gray"])
+    assert code == 0
+    h, w, payload = _decode_out(out, b"P5")
+    expected = golden.grayscale(img)
+    assert (h, w) == expected.shape
+    np.testing.assert_array_equal(
+        np.frombuffer(payload, np.uint8).reshape(h, w), expected
+    )
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+def test_mono_p4_packing(ref_runner, shape):
+    img = make_image(*shape, seed=1)
+    code, _, out = ref_runner.run(_p6(img), ["-mono"])
+    assert code == 0
+    h, w, payload = _decode_out(out, b"P4")
+    expected_bits = golden.mono_dither(img)
+    assert (h, w) == expected_bits.shape
+    assert payload == np.packbits(expected_bits, axis=1).tobytes()
+
+
+@pytest.mark.parametrize("flag,fn", [("-fv", golden.flip_vertical), ("-fh", golden.flip_horizontal)])
+@pytest.mark.parametrize("shape", SHAPES)
+def test_flips(ref_runner, shape, flag, fn):
+    img = make_image(*shape, seed=2)
+    code, _, out = ref_runner.run(_p6(img), [flag])
+    assert code == 0
+    h, w, payload = _decode_out(out, b"P6")
+    expected = fn(img)
+    np.testing.assert_array_equal(
+        np.frombuffer(payload, np.uint8).reshape(h, w, 3), expected
+    )
+
+
+@pytest.mark.parametrize("angle", [0, 90, 180, 270])
+@pytest.mark.parametrize("shape", [(12, 16), (13, 17), (29, 7)])
+def test_rotate_orthogonal(ref_runner, shape, angle):
+    img = make_image(*shape, seed=3)
+    code, _, out = ref_runner.run(_p6(img), [f"-r{angle}"])
+    assert code == 0
+    h, w, payload = _decode_out(out, b"P6")
+    expected = golden.rotate(img, angle)
+    assert (h, w) == expected.shape[:2]
+    np.testing.assert_array_equal(
+        np.frombuffer(payload, np.uint8).reshape(h, w, 3), expected
+    )
+
+
+@pytest.mark.parametrize("angle", [1, 30, 45, 77, 135, 179, 181, 222, 269, 271, 300, 359])
+@pytest.mark.parametrize("shape", SHAPES_ROT)
+def test_rotate_arbitrary_bit_exact(ref_runner, shape, angle):
+    img = make_gradient(*shape)
+    code, _, out = ref_runner.run(_p6(img), [f"-r{angle}"])
+    assert code == 0
+    h, w, payload = _decode_out(out, b"P6")
+    expected = golden.rotate(img, angle)
+    assert (h, w) == expected.shape[:2]
+    np.testing.assert_array_equal(
+        np.frombuffer(payload, np.uint8).reshape(h, w, 3), expected
+    )
+
+
+@pytest.mark.parametrize("shape,new_width", [
+    ((12, 16), 10),   # downscale
+    ((12, 16), 24),   # upscale
+    ((13, 17), 8),    # odd downscale
+    ((13, 17), 40),   # odd upscale
+    ((48, 64), 64),   # identity width
+    ((29, 7), 21),    # tall upscale
+    ((12, 16), 10),   # truncated new_height case: 12*10/16 = 7.5 -> 7
+])
+def test_resize_bit_exact(ref_runner, shape, new_width):
+    img = make_image(*shape, seed=4)
+    code, _, out = ref_runner.run(_p6(img), [f"-w{new_width}"])
+    assert code == 0
+    h, w, payload = _decode_out(out, b"P6")
+    expected = golden.resize_width(img, new_width)
+    assert (h, w) == expected.shape[:2]
+    np.testing.assert_array_equal(
+        np.frombuffer(payload, np.uint8).reshape(h, w, 3), expected
+    )
+
+
+def test_resize_height_truncates_b6(ref_runner):
+    """12 rows * (10/16) = 7.5 -> 7 rows (B6, verified)."""
+    img = make_image(12, 16, seed=5)
+    code, _, out = ref_runner.run(_p6(img), ["-w10"])
+    assert code == 0
+    h, w, _ = _decode_out(out, b"P6")
+    assert (h, w) == (7, 10)
+
+
+@pytest.mark.parametrize("args,ops", [
+    (["-w10", "-gray"], lambda im: golden.grayscale(golden.resize_width(im, 10))),
+    (["-w24", "-r90"], lambda im: golden.rotate90(golden.resize_width(im, 24))),
+    (["-r90", "-mono"], lambda im: golden.mono_dither(golden.rotate90(im))),
+    (["-w10", "-fv"], lambda im: golden.flip_vertical(golden.resize_width(im, 10))),
+    (["-r30", "-gray"], lambda im: golden.grayscale(golden.rotate(im, 30))),
+    (
+        ["-w20", "-r45", "-gray", "-fh"],
+        lambda im: golden.flip_horizontal(
+            golden.grayscale(golden.rotate(golden.resize_width(im, 20), 45))
+        ),
+    ),
+])
+def test_pipeline_combos(ref_runner, args, ops):
+    """Fixed-order combos. Flip combos here always include resize/rotate so
+    the reference's renewBuffer path makes flips compose correctly (B1 only
+    fires for flip+gray/mono without resize/rotate; see test_quirk_b1)."""
+    img = make_gradient(16, 12)
+    code, _, out = ref_runner.run(_p6(img), args)
+    assert code == 0
+    expected = ops(img)
+    magic = b"P5" if "-gray" in args else (b"P4" if "-mono" in args else b"P6")
+    h, w, payload = _decode_out(out, magic)
+    if magic == b"P4":
+        assert payload == np.packbits(expected, axis=1).tobytes()
+    else:
+        np.testing.assert_array_equal(
+            np.frombuffer(payload, np.uint8).reshape(expected.shape), expected
+        )
+
+
+def test_quirk_b1_documented(ref_runner):
+    """B1: -gray -fv in the reference emits the red channel of the flipped
+    COLOR image, not flipped grayscale. We verify the quirk exists (so the
+    divergence is intentional) — our framework implements the compose."""
+    img = make_image(8, 8, seed=6)
+    code, _, out = ref_runner.run(_p6(img), ["-gray", "-fv"])
+    assert code == 0
+    h, w, payload = _decode_out(out, b"P5")
+    ref_result = np.frombuffer(payload, np.uint8).reshape(h, w)
+    buggy = golden.flip_vertical(img)[:, :, 0]  # red of flipped color
+    intended = golden.flip_vertical(golden.grayscale(img))
+    np.testing.assert_array_equal(ref_result, buggy)
+    assert not np.array_equal(ref_result, intended)
+
+
+def test_quirk_b2_noop_fails(ref_runner):
+    img = make_image(4, 4)
+    code, stdout, out = ref_runner.run(_p6(img), [])
+    assert code == 255
+    assert "no data to write" in stdout
+    assert out is None
+
+
+def test_quirk_b3_errors_to_stdout_exit_255(ref_runner):
+    code, stdout, _ = ref_runner.run(b"P5\n1 1\n255\n\x00", ["-gray"])
+    assert code == 255
+    assert "invalid file format" in stdout
+
+
+def test_r0_is_identity_copy(ref_runner):
+    img = make_image(6, 9, seed=7)
+    code, _, out = ref_runner.run(_p6(img), ["-r0"])
+    assert code == 0
+    h, w, payload = _decode_out(out, b"P6")
+    np.testing.assert_array_equal(
+        np.frombuffer(payload, np.uint8).reshape(h, w, 3), img
+    )
