@@ -1,0 +1,87 @@
+"""Benchmark: fused 4K pipeline (grayscale -> 5x5 Gaussian -> hist-eq).
+
+Prints ONE JSON line:
+  {"metric": "fused_4k_pipeline", "value": <MPix/s/chip>, "unit": "MPix/s",
+   "vs_baseline": <x over the C reference>}
+
+Methodology: the per-call dispatch path to the TPU goes through a remote
+tunnel with ~tens-of-ms RTT and a `block_until_ready` that does not actually
+block, so the pipeline is iterated ON DEVICE inside one jitted
+`lax.fori_loop`; each iteration's input is rebuilt from the previous output
+(stack + rolls) so no stage can be hoisted out of the loop. The measured
+per-iteration time therefore INCLUDES a ~25 MB feedback materialization —
+the reported number is an underestimate of the pure pipeline rate.
+Completion is observed via a tiny dependent device-to-host fetch; a 0-iter
+loop fetch is subtracted as harness baseline.
+
+Baseline: the C reference's closest op is -gray at 4K = 1.6 MPix/s
+end-to-end (BASELINE.md; the reference has no conv/hist-eq at all, so the
+fused pipeline does strictly more work per pixel). North star: >= 1000
+MPix/s/chip.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import time
+
+import numpy as np
+
+C_BASELINE_MPIX_S = 1.6  # -gray, 4K, gcc -O2 (BASELINE.md)
+H, W = 2160, 3840  # 4K
+
+
+@functools.partial(__import__("jax").jit, static_argnums=1)
+def _loop_pipeline(img, iters: int):
+    import jax.numpy as jnp
+    from jax import lax
+
+    from imageprocessingtools_tpu.kernels.fused import fused_pipeline_xla
+
+    def body(_, carry):
+        out = fused_pipeline_xla(carry)
+        # Feed the output back as the next RGB input (cheap rolls decorrelate
+        # channels); the loop-carried dependency defeats loop hoisting.
+        return jnp.stack(
+            [out, jnp.roll(out, 1, axis=0), jnp.roll(out, 7, axis=1)], axis=-1
+        )
+
+    return lax.fori_loop(0, iters, body, img)
+
+
+def _timed(img, iters: int) -> float:
+    t0 = time.perf_counter()
+    r = _loop_pipeline(img, iters)
+    np.asarray(r[:1, :1, :1])  # tiny fetch dependent on the last iteration
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    import jax
+
+    rng = np.random.default_rng(0)
+    img = jax.device_put(rng.integers(0, 256, size=(H, W, 3), dtype=np.uint8))
+
+    n = 50
+    _timed(img, n)  # compile both variants + warm
+    _timed(img, 0)
+    base = min(_timed(img, 0) for _ in range(3))
+    total = min(_timed(img, n) for _ in range(3))
+    per_iter = (total - base) / n
+
+    mpix_s = (H * W) / per_iter / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "fused_4k_pipeline",
+                "value": round(mpix_s, 1),
+                "unit": "MPix/s",
+                "vs_baseline": round(mpix_s / C_BASELINE_MPIX_S, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,181 @@
+// Native PPM codec core: header lexing + batched pixel decode + P4 packing.
+//
+// Implements the same verified P6 grammar as codec/ppm.py (the reference's
+// header lexer semantics: '#'-to-newline comments anywhere in the header,
+// whitespace-separated unsigned tokens, literal "P6" magic, maxval
+// pass-through, strict trailer check) with the unsafe paths hardened.
+// Exposed as a C ABI for ctypes; used for high-throughput batched host
+// decode feeding device transfers (the reference decodes one image per
+// process; this decodes N in parallel into one contiguous HWC buffer).
+//
+// Build: g++ -O2 -shared -fPIC -o libppmcodec.so ppmcodec.cpp -pthread
+
+#include <cstdint>
+#include <cstddef>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr int kOk = 0;
+constexpr int kErrToken = -1;     // "error in getting next token. wrong format."
+constexpr int kErrMagic = -2;     // "error. invalid file format."
+constexpr int kErrWidth = -3;
+constexpr int kErrHeight = -4;
+constexpr int kErrMaxval = -5;
+constexpr int kErrShort = -6;     // "Error: unexpected end of file."
+constexpr int kErrTrailer = -7;   // "file format error"
+constexpr int kErrDims = -8;      // batch: image dims mismatch
+
+struct Lexer {
+  const uint8_t* data;
+  size_t size;
+  size_t pos = 0;
+  int cur = '\n';  // matches the reference's seed current_char
+  bool eof = false;
+
+  bool next_char() {  // returns false on hardened failure (unterminated comment)
+    if (eof) return true;
+    if (pos < size) {
+      cur = data[pos++];
+    } else {
+      eof = true;
+      return true;
+    }
+    if (cur == '#') {
+      for (;;) {
+        if (pos >= size) return false;  // hardened: no OOB scan
+        cur = data[pos++];
+        if (cur == '\n') break;
+      }
+      cur = '\n';
+    }
+    return true;
+  }
+
+  static bool is_space(int c) {
+    return c == ' ' || c == '\t' || c == '\n' || c == '\v' || c == '\f' ||
+           c == '\r';
+  }
+  static bool is_digit(int c) { return c >= '0' && c <= '9'; }
+  static bool is_alpha(int c) {
+    return (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z');
+  }
+
+  // kinds: 0 = uint (value in *out), 1 = magic "P6", 2 = other word, <0 error
+  int next_token(uint64_t* out) {
+    while (!eof && is_space(cur)) {
+      if (!next_char()) return kErrTrailer;
+    }
+    if (!eof && is_digit(cur)) {
+      uint64_t v = 0;
+      int digits = 0;
+      while (!eof && is_digit(cur)) {
+        if (digits++ < 19) v = v * 10 + (cur - '0');
+        if (!next_char()) return kErrTrailer;
+      }
+      *out = v;
+      return 0;
+    }
+    if (!eof && is_alpha(cur)) {
+      char word[8] = {0};
+      int n = 0;
+      while (!eof && (is_alpha(cur) || is_digit(cur))) {
+        if (n < 7) word[n++] = static_cast<char>(cur);
+        if (!next_char()) return kErrTrailer;
+      }
+      // Reference consumes one extra char after a word token.
+      if (!next_char()) return kErrTrailer;
+      return (word[0] == 'P' && word[1] == '6' && word[2] == 0) ? 1 : 2;
+    }
+    return kErrToken;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Parse a P6 header. On success fills w/h/maxval and the payload byte offset
+// and validates the payload length exactly (trailer check).
+int ppmx_parse_header(const uint8_t* data, size_t size, uint32_t* w,
+                      uint32_t* h, uint32_t* maxval, size_t* offset) {
+  Lexer lex{data, size};
+  uint64_t v = 0;
+  int k = lex.next_token(&v);
+  if (k < 0) return kErrToken;
+  if (k != 1) return kErrMagic;
+  if (lex.next_token(&v) != 0) return kErrWidth;
+  *w = static_cast<uint32_t>(v);
+  if (lex.next_token(&v) != 0) return kErrHeight;
+  *h = static_cast<uint32_t>(v);
+  if (lex.next_token(&v) != 0) return kErrMaxval;
+  *maxval = static_cast<uint32_t>(v);
+  *offset = lex.pos;
+  const uint64_t need = static_cast<uint64_t>(*w) * (*h) * 3u;
+  if (size - lex.pos < need) return kErrShort;
+  if (size - lex.pos > need) return kErrTrailer;
+  return kOk;
+}
+
+// Decode one P6 into dst[h*w*3] (caller sized from ppmx_parse_header).
+int ppmx_decode_one(const uint8_t* data, size_t size, uint8_t* dst,
+                    uint32_t expect_w, uint32_t expect_h) {
+  uint32_t w, h, maxval;
+  size_t off;
+  int rc = ppmx_parse_header(data, size, &w, &h, &maxval, &off);
+  if (rc != kOk) return rc;
+  if (w != expect_w || h != expect_h) return kErrDims;
+  std::memcpy(dst, data + off, static_cast<size_t>(w) * h * 3u);
+  return kOk;
+}
+
+// Batched parallel decode of n same-shape P6 buffers into one contiguous
+// uint8[n, h, w, 3] array. Returns 0 or the first error code encountered.
+int ppmx_decode_batch(const uint8_t* const* datas, const size_t* sizes, int n,
+                      uint8_t* dst, uint32_t w, uint32_t h, int nthreads) {
+  if (nthreads < 1) nthreads = 1;
+  const size_t stride = static_cast<size_t>(w) * h * 3u;
+  std::vector<int> rcs(static_cast<size_t>(nthreads), kOk);
+  auto worker = [&](int t) {
+    for (int i = t; i < n; i += nthreads) {
+      int rc = ppmx_decode_one(datas[i], sizes[i], dst + stride * i, w, h);
+      if (rc != kOk && rcs[static_cast<size_t>(t)] == kOk)
+        rcs[static_cast<size_t>(t)] = rc;
+    }
+  };
+  if (nthreads == 1) {
+    worker(0);
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(static_cast<size_t>(nthreads));
+    for (int t = 0; t < nthreads; ++t) threads.emplace_back(worker, t);
+    for (auto& th : threads) th.join();
+  }
+  for (int rc : rcs)
+    if (rc != kOk) return rc;
+  return kOk;
+}
+
+// Pack bilevel rows MSB-first, zero-padded to byte boundary (P4 payload).
+void ppmx_pack_bits(const uint8_t* src, uint8_t* dst, uint32_t w, uint32_t h) {
+  const uint32_t row_bytes = (w + 7u) / 8u;
+  for (uint32_t y = 0; y < h; ++y) {
+    const uint8_t* row = src + static_cast<size_t>(y) * w;
+    uint8_t* out = dst + static_cast<size_t>(y) * row_bytes;
+    std::memset(out, 0, row_bytes);
+    for (uint32_t x = 0; x < w; ++x)
+      out[x >> 3] = static_cast<uint8_t>(out[x >> 3] |
+                                         ((row[x] & 1u) << (7u - (x & 7u))));
+  }
+}
+
+// Encode a P6/P5 payload (header is trivial to build in the host language);
+// provided for symmetric batched encode: interleave is a straight memcpy
+// since our layout is already HWC.
+void ppmx_copy(const uint8_t* src, uint8_t* dst, size_t nbytes) {
+  std::memcpy(dst, src, nbytes);
+}
+
+}  // extern "C"

@@ -1,0 +1,160 @@
+"""ctypes bindings for the native C++ codec (csrc/ppmcodec.cpp).
+
+Built lazily with g++ on first use and cached under .cache/; every entry
+point falls back to the pure-Python codec when no C++ toolchain is present,
+so the native path is a transparent accelerator (used for batched decode
+feeding device transfers).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from imageprocessingtools_tpu.codec import ppm as _py
+
+_ERROR_MESSAGES = {
+    -1: "error in getting next token. wrong format.\n",
+    -2: "error. invalid file format.\n",
+    -3: "error. invalid file format. unable to parse width from input file.\n",
+    -4: "error. invalid file format. unable to parse height from input file.\n",
+    -5: "error. invalid file format. unable to parse maximum color from input file.\n",
+    -6: "Error: unexpected end of file.\n",
+    -7: "file format error\n",
+    -8: "error. invalid file format.\n",  # batch dims mismatch
+}
+
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_build_failed = False
+
+
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        src = os.path.join(os.path.dirname(os.path.abspath(__file__)), "csrc", "ppmcodec.cpp")
+        cache = os.path.join(_repo_root(), ".cache")
+        so_path = os.path.join(cache, "libppmcodec.so")
+        try:
+            if not os.path.exists(so_path) or os.path.getmtime(so_path) < os.path.getmtime(src):
+                os.makedirs(cache, exist_ok=True)
+                subprocess.run(
+                    ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-o", so_path, src, "-pthread"],
+                    check=True,
+                    capture_output=True,
+                )
+            lib = ctypes.CDLL(so_path)
+        except (OSError, subprocess.CalledProcessError):
+            _build_failed = True
+            return None
+        lib.ppmx_parse_header.restype = ctypes.c_int
+        lib.ppmx_parse_header.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_size_t),
+        ]
+        lib.ppmx_decode_batch.restype = ctypes.c_int
+        lib.ppmx_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_uint32,
+            ctypes.c_uint32,
+            ctypes.c_int,
+        ]
+        lib.ppmx_pack_bits.restype = None
+        lib.ppmx_pack_bits.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_uint32,
+            ctypes.c_uint32,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def parse_header(data: bytes) -> tuple[int, int, int, int]:
+    """(width, height, maxval, payload_offset) via the native lexer."""
+    lib = _load()
+    if lib is None:
+        img, maxval = _py.decode_ppm(data)  # fallback: full decode
+        return img.shape[1], img.shape[0], maxval, len(data) - img.size
+    w = ctypes.c_uint32()
+    h = ctypes.c_uint32()
+    mv = ctypes.c_uint32()
+    off = ctypes.c_size_t()
+    rc = lib.ppmx_parse_header(data, len(data), ctypes.byref(w), ctypes.byref(h), ctypes.byref(mv), ctypes.byref(off))
+    if rc != 0:
+        raise _py.PPMError(_ERROR_MESSAGES[rc])
+    return w.value, h.value, mv.value, off.value
+
+
+def decode_batch(buffers: list[bytes], n_threads: int | None = None) -> tuple[np.ndarray, int]:
+    """Decode N same-shape P6 buffers to uint8[N, H, W, 3] in parallel.
+
+    Returns (batch, maxval_of_first). Falls back to the Python codec when
+    the native library is unavailable.
+    """
+    if not buffers:
+        raise _py.PPMError("Error: no data to write\n")
+    lib = _load()
+    if lib is None:
+        imgs = []
+        maxval = 255
+        for i, buf in enumerate(buffers):
+            img, mv = _py.decode_ppm(buf)
+            if i == 0:
+                maxval = mv
+            imgs.append(img)
+        return np.stack(imgs), maxval
+
+    w, h, maxval, _ = parse_header(buffers[0])
+    n = len(buffers)
+    out = np.empty((n, h, w, 3), dtype=np.uint8)
+    arr_t = ctypes.c_char_p * n
+    size_t_arr = ctypes.c_size_t * n
+    datas = arr_t(*buffers)
+    sizes = size_t_arr(*[len(b) for b in buffers])
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 16)
+    rc = lib.ppmx_decode_batch(
+        datas, sizes, n, out.ctypes.data_as(ctypes.c_void_p), w, h, n_threads
+    )
+    if rc != 0:
+        raise _py.PPMError(_ERROR_MESSAGES[rc])
+    return out, maxval
+
+
+def pack_bits(bits: np.ndarray) -> bytes:
+    """P4 payload packing via the native kernel (np.packbits-equivalent)."""
+    lib = _load()
+    bits = np.ascontiguousarray(bits, dtype=np.uint8)
+    if lib is None:
+        return np.packbits(bits, axis=1).tobytes()
+    h, w = bits.shape
+    out = np.empty((h, (w + 7) // 8), dtype=np.uint8)
+    lib.ppmx_pack_bits(
+        bits.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p),
+        w,
+        h,
+    )
+    return out.tobytes()

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from imageprocessingtools_tpu.ops.color import grayscale
-from imageprocessingtools_tpu.ops.histogram import _equalize_lut, histogram
+from imageprocessingtools_tpu.ops.histogram import _equalize_lut, apply_lut, histogram
 from imageprocessingtools_tpu.ops.stencil import gaussian_blur
 
 
@@ -25,7 +25,7 @@ def fused_pipeline_xla(img: jnp.ndarray) -> jnp.ndarray:
     for d in blurred.shape:
         n_pixels *= int(d)
     lut = _equalize_lut(histogram(blurred), n_pixels)
-    return jnp.take(lut, blurred.astype(jnp.int32), axis=0)
+    return apply_lut(blurred, lut)
 
 
 fused_gray_gauss_histeq = jax.jit(fused_pipeline_xla)

@@ -44,8 +44,9 @@ def _contrast_lut(factor: float) -> np.ndarray:
 
 def contrast(img: jnp.ndarray, factor: float) -> jnp.ndarray:
     """clamp(round_half_up((v - 128) * factor + 128)); factor is static."""
-    lut = jnp.asarray(_contrast_lut(float(factor)))
-    return jnp.take(lut, as_i32(img), axis=0)
+    from imageprocessingtools_tpu.ops.histogram import apply_lut
+
+    return apply_lut(img, jnp.asarray(_contrast_lut(float(factor))))
 
 
 def threshold(img: jnp.ndarray, thresh) -> jnp.ndarray:

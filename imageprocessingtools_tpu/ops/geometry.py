@@ -49,18 +49,20 @@ def rotate270(img: jnp.ndarray) -> jnp.ndarray:
 
 @functools.lru_cache(maxsize=32)
 def _rotation_plan_arrays(height: int, width: int, angle: float):
+    # Cache host numpy only (jnp constants created inside a trace are
+    # trace-local; caching them across traces leaks tracers).
     plan = _exact.plan_rotation(height, width, angle)
     return (
         plan.new_height,
         plan.new_width,
-        jnp.asarray(plan.interior),
-        jnp.asarray(plan.edge),
-        jnp.asarray(plan.nearest_y),
-        jnp.asarray(plan.nearest_x),
-        jnp.asarray(plan.base_y),
-        jnp.asarray(plan.base_x),
-        jnp.asarray(plan.weights_y.astype(np.float32)),
-        jnp.asarray(plan.weights_x.astype(np.float32)),
+        plan.interior,
+        plan.edge,
+        plan.nearest_y,
+        plan.nearest_x,
+        plan.base_y,
+        plan.base_x,
+        plan.weights_y.astype(np.float32),
+        plan.weights_x.astype(np.float32),
     )
 
 
@@ -112,4 +114,14 @@ def rotate(img: jnp.ndarray, angle_deg: float) -> jnp.ndarray:
     (_, _, interior, edge, ny, nx, by, bx, wy, wx) = _rotation_plan_arrays(
         img.shape[0], img.shape[1], angle
     )
-    return _rotate_apply(img, interior, edge, ny, nx, by, bx, wy, wx)
+    return _rotate_apply(
+        img,
+        jnp.asarray(interior),
+        jnp.asarray(edge),
+        jnp.asarray(ny),
+        jnp.asarray(nx),
+        jnp.asarray(by),
+        jnp.asarray(bx),
+        jnp.asarray(wy),
+        jnp.asarray(wx),
+    )

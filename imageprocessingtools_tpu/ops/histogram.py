@@ -1,28 +1,85 @@
-"""256-bin histogram and histogram equalization, scatter-free.
+"""256-bin histogram, LUT application, and histogram equalization.
 
-TPU has no fast scatter, so the histogram is a compare-and-reduce: the
-compare against the 256 bin ids fuses into the reduction under XLA (and
-`kernels/histogram.py` provides the MXU one-hot-matmul Pallas version).
+TPU has no fast scatter OR gather, so both directions use an exact MXU
+formulation built on the value's nibbles (v = 16*hi + lo):
+
+- histogram:  hist2d[h, l] = <onehot(hi), onehot(lo)> — one [16, N] @ [N, 16]
+  matmul; bin b = 16*h + l, so hist2d reshapes row-major to the 256 counts.
+- LUT apply:  lut[v] = onehot(hi) @ LUT2D @ onehot(lo)^T — a [..., 16] x
+  [16, 16] matmul plus a masked 16-way sum (vs. an 8M-element gather, which
+  measured ~65 ms at 4K on TPU; this form is ~100x faster).
+
+Both are EXACT: one-hot values and integer LUT entries (<= 255) are exact in
+bfloat16, products are 0/1 * value, and f32 accumulation is exact below 2^24
+(larger pixel counts are chunked).
 
 Equalization: lut[v] = round_half_up((cdf[v] - cdf_min) * 255 / (N - cdf_min))
 with cdf_min the first nonzero CDF value; constant images pass through. The
-LUT arithmetic is float32 on device (f64 golden spec carries a documented
-+-1 LSB budget); counts up to 2^24 are exact in f32.
+LUT arithmetic itself is float32 on device (f64 golden spec carries a
+documented +-1 LSB budget).
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 from imageprocessingtools_tpu.ops.common import as_i32
 
+_F32_EXACT_COUNT = 1 << 24  # f32 integer-exactness limit for accumulation
+_IOTA16 = None
+
+
+def _iota16():
+    return jnp.arange(16, dtype=jnp.int32)
+
+
+def _histogram_chunk(v: jnp.ndarray) -> jnp.ndarray:
+    """int32[M] values in [0, 256) -> int32[256] counts (M < 2^24)."""
+    hi_oh = (v[:, None] >> 4 == _iota16()[None, :]).astype(jnp.bfloat16)
+    lo_oh = ((v[:, None] & 15) == _iota16()[None, :]).astype(jnp.bfloat16)
+    h2 = lax.dot_general(
+        hi_oh,
+        lo_oh,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return h2.reshape(256).astype(jnp.int32)
+
 
 def histogram(img: jnp.ndarray) -> jnp.ndarray:
-    """uint8[...] -> int32[256] bin counts."""
-    vals = as_i32(img).reshape(-1)
-    bins = jnp.arange(256, dtype=jnp.int32)
-    # Compare-broadcast fused into the N-axis reduction by XLA.
-    return jnp.sum((vals[:, None] == bins[None, :]).astype(jnp.int32), axis=0)
+    """uint8[...] -> int32[256] bin counts (exact)."""
+    v = as_i32(img).reshape(-1)
+    n = v.shape[0]
+    if n < _F32_EXACT_COUNT:
+        return _histogram_chunk(v)
+    # Chunk to stay within f32 exact integer range, then sum in int32.
+    n_chunks = -(-n // (_F32_EXACT_COUNT // 2))
+    chunk = -(-n // n_chunks)
+    pad = n_chunks * chunk - n
+    v = jnp.pad(v, (0, pad))  # pads count into bin 0; subtracted below
+    hists = [
+        _histogram_chunk(v[i * chunk : (i + 1) * chunk]) for i in range(n_chunks)
+    ]
+    total = sum(hists[1:], hists[0])
+    return total.at[0].add(-pad)
+
+
+def apply_lut(values: jnp.ndarray, lut: jnp.ndarray) -> jnp.ndarray:
+    """Gather-free LUT apply: uint8 values through a 256-entry integer LUT.
+
+    ``lut`` must hold integers in [0, 256) (uint8 or wider). Exact.
+    """
+    v = as_i32(values)
+    hi_oh = ((v[..., None] >> 4) == _iota16()).astype(jnp.bfloat16)
+    lo_oh = ((v[..., None] & 15) == _iota16()).astype(jnp.bfloat16)
+    lut2d = lut.reshape(16, 16).astype(jnp.bfloat16)  # lut[16*h + l]
+    partial = jnp.einsum(
+        "...h,hl->...l", hi_oh, lut2d, preferred_element_type=jnp.float32
+    )
+    out = jnp.sum(partial * lo_oh.astype(jnp.float32), axis=-1)
+    return out.astype(jnp.uint8)
 
 
 def _equalize_lut(hist: jnp.ndarray, n_pixels: int) -> jnp.ndarray:
@@ -30,9 +87,7 @@ def _equalize_lut(hist: jnp.ndarray, n_pixels: int) -> jnp.ndarray:
     cdf = jnp.cumsum(hist)
     cdf_min = jnp.min(jnp.where(cdf > 0, cdf, n_pixels))
     denom = jnp.maximum(n_pixels - cdf_min, 1).astype(jnp.float32)
-    lut = jnp.floor(
-        (cdf - cdf_min).astype(jnp.float32) * 255.0 / denom + 0.5
-    )
+    lut = jnp.floor((cdf - cdf_min).astype(jnp.float32) * 255.0 / denom + 0.5)
     lut = jnp.clip(lut, 0, 255).astype(jnp.uint8)
     identity = jnp.arange(256, dtype=jnp.uint8)
     return jnp.where(cdf_min == n_pixels, identity, lut)
@@ -44,4 +99,4 @@ def equalize_histogram(img: jnp.ndarray) -> jnp.ndarray:
     for d in img.shape:
         n_pixels *= int(d)
     lut = _equalize_lut(histogram(img), n_pixels)
-    return jnp.take(lut, as_i32(img), axis=0)
+    return apply_lut(img, lut)

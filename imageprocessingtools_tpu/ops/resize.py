@@ -27,11 +27,13 @@ from imageprocessingtools_tpu.ops.common import quantize_u8
 
 @functools.lru_cache(maxsize=32)
 def _resize_plan_arrays(height: int, width: int, new_width: int):
+    # Cache host numpy only: caching jnp arrays would leak tracers when the
+    # first call happens inside a jit trace (constants are trace-local).
     plan = _exact.plan_resize(height, width, new_width)
     mats = []
     for dim, contrib in plan.passes:
         in_size = height if dim == 0 else width
-        mats.append((dim, jnp.asarray(_exact.dense_weights(contrib, in_size).astype(np.float32))))
+        mats.append((dim, _exact.dense_weights(contrib, in_size).astype(np.float32)))
     return plan.new_height, plan.new_width, tuple(mats)
 
 
@@ -73,7 +75,7 @@ def resize_width(img: jnp.ndarray, new_width: int) -> jnp.ndarray:
     _, _, mats = _resize_plan_arrays(img.shape[0], img.shape[1], int(new_width))
     out = img
     for dim, weight in mats:
-        out = _apply_pass(out, weight, dim)
+        out = _apply_pass(out, jnp.asarray(weight), dim)
     return out
 
 
@@ -92,7 +94,7 @@ def _resize_hw_plan_arrays(height: int, width: int, new_height: int, new_width: 
     mats = []
     for dim, contrib in passes:
         in_size = height if dim == 0 else width
-        mats.append((dim, jnp.asarray(_exact.dense_weights(contrib, in_size).astype(np.float32))))
+        mats.append((dim, _exact.dense_weights(contrib, in_size).astype(np.float32)))
     return tuple(mats)
 
 
@@ -105,5 +107,5 @@ def resize(img: jnp.ndarray, new_height: int, new_width: int) -> jnp.ndarray:
     )
     out = img
     for dim, weight in mats:
-        out = _apply_pass(out, weight, dim)
+        out = _apply_pass(out, jnp.asarray(weight), dim)
     return out

@@ -1,0 +1,81 @@
+"""Multi-device paths on the virtual 8-device CPU mesh (survey §4)."""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+import imageprocessingtools_tpu as ipt
+from imageprocessingtools_tpu.golden import model as golden
+from imageprocessingtools_tpu.kernels.fused import fused_pipeline_xla
+from imageprocessingtools_tpu.parallel import (
+    batch_apply,
+    batched_fused_pipeline,
+    default_mesh,
+    fused_pipeline_spatial,
+)
+from tests.conftest import make_gradient, make_image
+
+
+def _golden_fused(img):
+    g = golden.grayscale(img)
+    b = golden.gaussian_blur(g)
+    return golden.equalize_histogram(b)
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_fused_pipeline_single_device_matches_golden():
+    img = make_gradient(32, 48)
+    out = np.asarray(fused_pipeline_xla(img))
+    exp = _golden_fused(img)
+    assert np.abs(out.astype(int) - exp.astype(int)).max() <= 1  # equalize LUT budget
+
+
+def test_batch_apply_sharded_matches_single():
+    imgs = np.stack([make_image(16, 24, seed=s) for s in range(8)])
+    mesh = default_mesh()
+    out = np.asarray(batched_fused_pipeline(imgs, mesh=mesh))
+    for i in range(8):
+        single = np.asarray(fused_pipeline_xla(imgs[i]))
+        np.testing.assert_array_equal(out[i], single)
+
+
+def test_batch_apply_any_op():
+    imgs = np.stack([make_image(8, 8, seed=s) for s in range(16)])
+    out = np.asarray(batch_apply(ipt.grayscale, imgs))
+    for i in range(16):
+        np.testing.assert_array_equal(out[i], golden.grayscale(imgs[i]))
+
+
+def test_batch_indivisible_raises():
+    imgs = np.stack([make_image(8, 8, seed=s) for s in range(3)])
+    with pytest.raises(ValueError, match="not divisible"):
+        batch_apply(ipt.grayscale, imgs)
+
+
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+def test_spatial_sharded_fused_exact_vs_single(n_shards):
+    """H-sharded halo-exchange pipeline == single-device pipeline, bit-exact."""
+    img = make_gradient(64, 48)
+    devices = np.asarray(jax.devices()[:n_shards])
+    mesh = Mesh(devices, ("sp",))
+    out = np.asarray(fused_pipeline_spatial(img, mesh))
+    single = np.asarray(fused_pipeline_xla(img))
+    np.testing.assert_array_equal(out, single)
+
+
+def test_spatial_noise_image_exact():
+    img = make_image(32, 40, seed=11)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("sp",))
+    out = np.asarray(fused_pipeline_spatial(img, mesh))
+    np.testing.assert_array_equal(out, np.asarray(fused_pipeline_xla(img)))
+
+
+def test_spatial_bad_shard_count():
+    img = make_image(30, 16)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("sp",))
+    with pytest.raises(ValueError, match="divisible"):
+        fused_pipeline_spatial(img, mesh)
