@@ -63,12 +63,14 @@ def main() -> None:
     rng = np.random.default_rng(0)
     img = jax.device_put(rng.integers(0, 256, size=(H, W, 3), dtype=np.uint8))
 
+    # The chip is time-shared (contention varies per run by up to ~70x);
+    # min over several spaced repeats approximates the uncontended rate.
     n = 50
     _timed(img, n)  # compile both variants + warm
     _timed(img, 0)
-    base = min(_timed(img, 0) for _ in range(3))
-    total = min(_timed(img, n) for _ in range(3))
-    per_iter = (total - base) / n
+    base = min(_timed(img, 0) for _ in range(5))
+    total = min(_timed(img, n) for _ in range(5))
+    per_iter = max((total - base) / n, 1e-9)
 
     mpix_s = (H * W) / per_iter / 1e6
     print(

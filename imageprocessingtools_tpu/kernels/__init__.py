@@ -7,5 +7,16 @@ the hand-tiled Pallas versions used when they beat XLA's fusion.
 
 from imageprocessingtools_tpu.kernels.fused import (  # noqa: F401
     fused_gray_gauss_histeq,
+    fused_gray_gauss_histeq_pallas,
+    fused_pipeline_pallas,
     fused_pipeline_xla,
+)
+from imageprocessingtools_tpu.kernels.pallas_core import (  # noqa: F401
+    box_blur_pallas,
+    fused_elementwise_pallas,
+    gaussian_blur_pallas,
+    histogram_pallas,
+    lut_apply_pallas,
+    sharpen_pallas,
+    sobel_pallas,
 )

@@ -28,4 +28,24 @@ def fused_pipeline_xla(img: jnp.ndarray) -> jnp.ndarray:
     return apply_lut(blurred, lut)
 
 
+def fused_pipeline_pallas(img: jnp.ndarray) -> jnp.ndarray:
+    """Pallas-stencil variant of the flagship pipeline.
+
+    gray (XLA, fuses into the load) -> pallas tiled 5x5 Gaussian with row
+    halos -> histogram + LUT equalize (XLA nibble-MXU form — measured at
+    parity with the pallas kernels, both MXU-bound). Bit-identical to
+    `fused_pipeline_xla`.
+    """
+    from imageprocessingtools_tpu.kernels.pallas_core import gaussian_blur_pallas
+
+    g = grayscale(img)
+    blurred = gaussian_blur_pallas(g)
+    n_pixels = 1
+    for d in blurred.shape:
+        n_pixels *= int(d)
+    lut = _equalize_lut(histogram(blurred), n_pixels)
+    return apply_lut(blurred, lut)
+
+
 fused_gray_gauss_histeq = jax.jit(fused_pipeline_xla)
+fused_gray_gauss_histeq_pallas = jax.jit(fused_pipeline_pallas)

@@ -1,0 +1,310 @@
+"""Pallas TPU kernels: tiled stencils with halo, fused elementwise chain,
+and MXU histogram / LUT-apply variants.
+
+Design notes (see /opt/skills/guides/pallas_guide.md):
+- Kernels tile the image over row blocks [TR, W]; W rides the 128-lane axis
+  (4K width 3840 = 30 * 128). Row halos come from passing the SAME input
+  array multiple times with shifted block index maps (prev/cur/next) — the
+  standard Pallas halo pattern; global-boundary blocks replicate their own
+  edge rows, matching `ops.stencil`'s replicate padding bit-exactly.
+- All arithmetic is the integer-exact spec from `ops/stencil.py`, so pallas
+  and XLA paths are interchangeable bit-for-bit.
+- The histogram/LUT kernels use the same nibble-one-hot MXU contraction as
+  `ops/histogram.py`. Both the XLA and Pallas forms are MXU-bound at the
+  same ~M x 128 x 128 padded cost, so the XLA form is the default; the
+  kernels here exist for fusion with neighboring pallas stages and for
+  single-pass VMEM residency.
+- Kernels run in interpret mode off-TPU so the CPU suite covers them.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _pick_block_rows(h: int, target: int = 216) -> int:
+    """Largest divisor of h that is <= target (>= 8 preferred)."""
+    best = 1
+    for d in range(1, target + 1):
+        if h % d == 0:
+            best = d
+    return best
+
+
+def _halo_specs(block_rows: int, w: int, n: int):
+    return [
+        pl.BlockSpec(
+            (block_rows, w), lambda i: (jnp.maximum(i - 1, 0), 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((block_rows, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (block_rows, w), lambda i: (jnp.minimum(i + 1, n - 1), 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+
+
+def _row_halo(prev_ref, cur, next_ref, radius: int):
+    """[TR + 2*radius, W] with neighbor halos / replicated global edges."""
+    step = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+    tr = cur.shape[0]
+    prev_tail = prev_ref[tr - radius :, :].astype(jnp.int32)
+    next_head = next_ref[:radius, :].astype(jnp.int32)
+    edge_top = jnp.concatenate([cur[:1]] * radius, axis=0)
+    edge_bot = jnp.concatenate([cur[tr - 1 :]] * radius, axis=0)
+    top = jnp.where(step == 0, edge_top, prev_tail)
+    bot = jnp.where(step == n_steps - 1, edge_bot, next_head)
+    return jnp.concatenate([top, cur, bot], axis=0)
+
+
+def _col_edge_pad(x, radius: int):
+    w = x.shape[1]
+    left = [x[:, :1]] * radius
+    right = [x[:, w - 1 :]] * radius
+    return jnp.concatenate(left + [x] + right, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# 5x5 binomial Gaussian (separable, integer-exact).
+# ---------------------------------------------------------------------------
+
+_GAUSS_TAPS = (1, 4, 6, 4, 1)
+
+
+def _gauss5_kernel(prev_ref, cur_ref, next_ref, out_ref):
+    tr, w = cur_ref.shape
+    cur = cur_ref[:].astype(jnp.int32)
+    padded = _row_halo(prev_ref, cur, next_ref, radius=2)  # [TR+4, W]
+    rows = None
+    for dy, k in enumerate(_GAUSS_TAPS):
+        term = k * padded[dy : dy + tr, :]
+        rows = term if rows is None else rows + term
+    rows = _col_edge_pad(rows, 2)
+    acc = None
+    for dx, k in enumerate(_GAUSS_TAPS):
+        term = k * rows[:, dx : dx + w]
+        acc = term if acc is None else acc + term
+    out_ref[:] = ((acc + 128) >> 8).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows",))
+def gaussian_blur_pallas(gray: jnp.ndarray, block_rows: int | None = None):
+    """uint8[H, W] -> uint8[H, W]; bit-identical to ops.stencil.gaussian_blur."""
+    h, w = gray.shape
+    br = block_rows or _pick_block_rows(h)
+    n = h // br
+    return pl.pallas_call(
+        _gauss5_kernel,
+        grid=(n,),
+        in_specs=_halo_specs(br, w, n),
+        out_specs=pl.BlockSpec((br, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.uint8),
+        interpret=_interpret(),
+    )(gray, gray, gray)
+
+
+# ---------------------------------------------------------------------------
+# Generic 3x3 integer stencils: box, sharpen, sobel.
+# ---------------------------------------------------------------------------
+
+
+def _stencil3_kernel(weights, post, prev_ref, cur_ref, next_ref, out_ref):
+    tr, w = cur_ref.shape
+    cur = cur_ref[:].astype(jnp.int32)
+    padded = _col_edge_pad(_row_halo(prev_ref, cur, next_ref, radius=1), 1)
+    results = []
+    for kern in weights:
+        acc = None
+        for dy in range(3):
+            for dx in range(3):
+                c = kern[dy][dx]
+                if c == 0:
+                    continue
+                tap = padded[dy : dy + tr, dx : dx + w]
+                term = tap if c == 1 else c * tap
+                acc = term if acc is None else acc + term
+        results.append(acc)
+    out_ref[:] = post(*results).astype(jnp.uint8)
+
+
+def _make_stencil3(weights, post):
+    @functools.partial(jax.jit, static_argnames=("block_rows",))
+    def run(img: jnp.ndarray, block_rows: int | None = None):
+        h, w = img.shape
+        br = block_rows or _pick_block_rows(h)
+        n = h // br
+        return pl.pallas_call(
+            functools.partial(_stencil3_kernel, weights, post),
+            grid=(n,),
+            in_specs=_halo_specs(br, w, n),
+            out_specs=pl.BlockSpec((br, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((h, w), jnp.uint8),
+            interpret=_interpret(),
+        )(img, img, img)
+
+    return run
+
+
+def _isqrt_round(m):
+    k = jnp.floor(jnp.sqrt(m.astype(jnp.float32)) + 0.5).astype(jnp.int32)
+    k = jnp.where(m > k * k + k, k + 1, k)
+    k = jnp.where(m < k * k - k + 1, k - 1, k)
+    return k
+
+
+box_blur_pallas = _make_stencil3(
+    (((1, 1, 1), (1, 1, 1), (1, 1, 1)),),
+    lambda s: (2 * s + 9) // 18,
+)
+sharpen_pallas = _make_stencil3(
+    (((0, -1, 0), (-1, 5, -1), (0, -1, 0)),),
+    lambda s: jnp.clip(s, 0, 255),
+)
+sobel_pallas = _make_stencil3(
+    (
+        ((-1, 0, 1), (-2, 0, 2), (-1, 0, 1)),
+        ((-1, -2, -1), (0, 0, 0), (1, 2, 1)),
+    ),
+    lambda gx, gy: jnp.clip(_isqrt_round(gx * gx + gy * gy), 0, 255),
+)
+
+
+# ---------------------------------------------------------------------------
+# Fused elementwise chain kernel (gray from planar RGB + pointwise ops).
+# ---------------------------------------------------------------------------
+
+
+def _elementwise_kernel(chain, r_ref, g_ref, b_ref, out_ref):
+    v = (
+        r_ref[:].astype(jnp.int32)
+        + g_ref[:].astype(jnp.int32)
+        + b_ref[:].astype(jnp.int32)
+    ) // 3
+    for op, arg in chain:
+        if op == "invert":
+            v = 255 - v
+        elif op == "brightness":
+            v = jnp.clip(v + int(arg), 0, 255)
+        elif op == "contrast":
+            # f32 affine + round-half-up (documented +-1 vs the f64 LUT op)
+            vf = (v.astype(jnp.float32) - 128.0) * float(arg) + 128.0
+            v = jnp.clip(jnp.floor(vf + 0.5), 0.0, 255.0).astype(jnp.int32)
+        elif op == "threshold":
+            v = jnp.where(v >= int(arg), 255, 0)
+        else:
+            raise ValueError(f"unknown op {op}")
+    out_ref[:] = v.astype(jnp.uint8)
+
+
+def fused_elementwise_pallas(
+    rgb_planes,
+    chain: tuple = (),
+    block_rows: int | None = None,
+) -> jnp.ndarray:
+    """One VMEM pass: grayscale of planar RGB + a static pointwise op chain.
+
+    ``rgb_planes``: three uint8[H, W] arrays. ``chain``: tuple of
+    ("invert" | "brightness" | "contrast" | "threshold", arg) applied in
+    order after grayscale. All integer ops bit-exact; contrast is +-1 vs the
+    f64-LUT `ops.color.contrast`.
+    """
+    r, g, b = rgb_planes
+    h, w = r.shape
+    br = block_rows or _pick_block_rows(h)
+    spec = pl.BlockSpec((br, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_elementwise_kernel, tuple(chain)),
+        grid=(h // br,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.uint8),
+        interpret=_interpret(),
+    )(r, g, b)
+
+
+# ---------------------------------------------------------------------------
+# Histogram + LUT-apply kernels (MXU nibble contraction, VMEM-resident).
+# ---------------------------------------------------------------------------
+
+
+def _hist_kernel(v_ref, out_ref):
+    step = pl.program_id(0)
+    tr, w = v_ref.shape
+    v = v_ref[:].astype(jnp.int32).reshape(tr * w, 1)
+    iota = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    hi = ((v >> 4) == iota).astype(jnp.bfloat16)   # [M, 128], cols 16+ zero
+    lo = ((v & 15) == iota).astype(jnp.bfloat16)
+    counts = lax.dot_general(
+        hi, lo, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [128, 128]; useful block [:16, :16]
+
+    @pl.when(step == 0)
+    def _():
+        out_ref[:] = counts
+
+    @pl.when(step != 0)
+    def _():
+        out_ref[:] = out_ref[:] + counts
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows",))
+def histogram_pallas(gray: jnp.ndarray, block_rows: int | None = None):
+    """uint8[H, W] -> int32[256] (exact; H*W < 2^24)."""
+    h, w = gray.shape
+    br = block_rows or _pick_block_rows(h, 64)
+    big = pl.pallas_call(
+        _hist_kernel,
+        grid=(h // br,),
+        in_specs=[pl.BlockSpec((br, w), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((128, 128), jnp.float32),
+        interpret=_interpret(),
+    )(gray)
+    return big[:16, :16].reshape(256).astype(jnp.int32)
+
+
+def _lut_kernel(v_ref, lut_ref, out_ref):
+    tr, w = v_ref.shape
+    v = v_ref[:].astype(jnp.int32).reshape(tr * w, 1)
+    iota = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    hi = ((v >> 4) == iota).astype(jnp.bfloat16)
+    lo = (v & 15) == iota
+    partial = jnp.dot(
+        hi, lut_ref[:].astype(jnp.bfloat16), preferred_element_type=jnp.float32
+    )  # [M, 128]
+    out = jnp.sum(jnp.where(lo, partial, 0.0), axis=1)
+    out_ref[:] = out.reshape(tr, w).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows",))
+def lut_apply_pallas(values: jnp.ndarray, lut: jnp.ndarray, block_rows: int | None = None):
+    """uint8[H, W] through an integer [256] LUT; exact, gather-free."""
+    h, w = values.shape
+    br = block_rows or _pick_block_rows(h, 64)
+    lut128 = jnp.zeros((128, 128), jnp.float32).at[:16, :16].set(
+        lut.reshape(16, 16).astype(jnp.float32)
+    )
+    return pl.pallas_call(
+        _lut_kernel,
+        grid=(h // br,),
+        in_specs=[
+            pl.BlockSpec((br, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((br, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.uint8),
+        interpret=_interpret(),
+    )(values, lut128)

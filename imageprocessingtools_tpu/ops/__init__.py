@@ -21,11 +21,16 @@ from imageprocessingtools_tpu.ops.geometry import (  # noqa: F401
     flip_vertical,
     flip_horizontal,
     rotate,
+    rotate_exact,
     rotate90,
     rotate180,
     rotate270,
 )
-from imageprocessingtools_tpu.ops.resize import resize_width, resize  # noqa: F401
+from imageprocessingtools_tpu.ops.resize import (  # noqa: F401
+    resize_width,
+    resize_width_exact,
+    resize,
+)
 from imageprocessingtools_tpu.ops.stencil import (  # noqa: F401
     box_blur,
     sharpen,
@@ -35,4 +40,6 @@ from imageprocessingtools_tpu.ops.stencil import (  # noqa: F401
 from imageprocessingtools_tpu.ops.histogram import (  # noqa: F401
     histogram,
     equalize_histogram,
+    apply_lut,
 )
+from imageprocessingtools_tpu.ops.packing import pack_bits_device  # noqa: F401

@@ -10,17 +10,30 @@ bit-exactly (see ``ops/_exact.BAYER_THRESHOLD_INT``).
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
+import numpy as np
 
 from imageprocessingtools_tpu.ops import _exact
 from imageprocessingtools_tpu.ops.common import as_i32
 
 
+@functools.lru_cache(maxsize=32)
+def _threshold_plane(h: int, w: int) -> np.ndarray:
+    """Full uint8[h, w] threshold constant, tiled on host.
+
+    Device-side jnp.tile of the 4x4 matrix lowers to a relayout-heavy
+    broadcast/reshape on TPU (measured ~17 ms at 4K); a host-tiled constant
+    is one aligned 8 MB read instead.
+    """
+    reps = ((h + 3) // 4, (w + 3) // 4)
+    return np.tile(_exact.BAYER_THRESHOLD_INT.astype(np.uint8), reps)[:h, :w]
+
+
 def mono_dither(img: jnp.ndarray) -> jnp.ndarray:
     """uint8[H, W, 3] -> uint8[H, W] in {0, 1}, 1 = black. Bit-exact."""
     h, w = img.shape[0], img.shape[1]
-    avg = jnp.sum(as_i32(img), axis=-1) // 3
-    tiled = jnp.tile(
-        jnp.asarray(_exact.BAYER_THRESHOLD_INT), ((h + 3) // 4, (w + 3) // 4)
-    )[:h, :w]
-    return jnp.where(avg >= tiled, 0, 1).astype(jnp.uint8)
+    avg = (jnp.sum(as_i32(img), axis=-1) // 3).astype(jnp.uint8)
+    thr = jnp.asarray(_threshold_plane(h, w))
+    return (avg < thr).astype(jnp.uint8)

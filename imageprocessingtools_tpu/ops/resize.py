@@ -98,6 +98,19 @@ def _resize_hw_plan_arrays(height: int, width: int, new_height: int, new_width: 
     return tuple(mats)
 
 
+def resize_width_exact(img, new_width: int):
+    """float64 exactness mode (survey §4): bit-exact vs the C binary.
+
+    Runs the golden host path (sequential f64 tap accumulation — TPU has no
+    f64). Use for verification / when +-1 LSB is unacceptable.
+    """
+    import numpy as np
+
+    from imageprocessingtools_tpu.golden import model as _golden
+
+    return _golden.resize_width(np.asarray(img), int(new_width))
+
+
 def resize(img: jnp.ndarray, new_height: int, new_width: int) -> jnp.ndarray:
     """Library extension: resize to an explicit (new_height, new_width)."""
     if int(new_height) < 1 or int(new_width) < 1:

@@ -16,7 +16,6 @@ from __future__ import annotations
 import dataclasses
 
 import jax.numpy as jnp
-import numpy as np
 
 from imageprocessingtools_tpu import ops
 from imageprocessingtools_tpu.codec.ppm import FILETYPE_PBM, FILETYPE_PGM, FILETYPE_PPM
@@ -68,7 +67,7 @@ def run_pipeline(img, config: PipelineConfig) -> tuple[jnp.ndarray, int]:
     """
     if not config.any_op:
         raise ValueError("Error: no data to write\n")
-    out = jnp.asarray(np.asarray(img))
+    out = jnp.asarray(img)
     if config.new_width is not None:
         out = ops.resize_width(out, int(config.new_width))
     if config.angle is not None:

@@ -1,0 +1,96 @@
+"""Batched end-to-end serving: files -> decode -> device pipeline -> encode.
+
+The reference is one image per process (decode, op chain, encode,
+``ppmx-edward.c:1053-1172``). This module amortizes codec and device work
+over many files: native C++ parallel decode into one contiguous batch,
+shape-bucketing (XLA needs static shapes — one compile per bucket, survey
+§7.7), a vmapped jitted pipeline optionally sharded over a device mesh, and
+parallel host encode (P4 bit packing happens on device).
+"""
+
+from __future__ import annotations
+
+import collections
+import os
+
+import jax
+import numpy as np
+
+from imageprocessingtools_tpu.codec import native, ppm
+from imageprocessingtools_tpu.ops.packing import pack_bits_device
+from imageprocessingtools_tpu.pipeline import PipelineConfig, run_pipeline
+from imageprocessingtools_tpu.codec.ppm import FILETYPE_PBM
+
+
+def process_batch(images: np.ndarray, config: PipelineConfig, mesh=None):
+    """uint8[N, H, W, 3] -> (uint8[N, ...], file_type), vmapped + jitted.
+
+    With a mesh, the batch axis is sharded (N must divide the mesh size).
+    """
+    def one(img):
+        out, _ = run_pipeline(img, config)
+        if config.mono:
+            out = pack_bits_device(out)  # device-side P4 packing
+        return out
+
+    if mesh is not None:
+        from imageprocessingtools_tpu.parallel.batch import batch_apply
+
+        out = batch_apply(one, images, mesh=mesh)
+    else:
+        out = jax.jit(jax.vmap(one))(images)
+    return out, config.file_type
+
+
+def process_files(
+    paths: list[str],
+    config: PipelineConfig,
+    mesh=None,
+    suffix: str = ".out",
+) -> list[str]:
+    """Run the reference pipeline over many files; writes ``<path>.out``.
+
+    Files are bucketed by (H, W) so each unique shape compiles once; each
+    bucket is decoded with the native batched codec, processed on device in
+    one vmapped dispatch, and encoded on host. Returns output paths.
+    """
+    buffers = []
+    shapes = []
+    for p in paths:
+        with open(p, "rb") as f:
+            data = f.read()
+        w, h, maxval, _ = native.parse_header(data)
+        buffers.append((data, maxval))
+        shapes.append((h, w))
+
+    buckets: dict[tuple[int, int], list[int]] = collections.defaultdict(list)
+    for i, s in enumerate(shapes):
+        buckets[s].append(i)
+
+    out_paths: list[str | None] = [None] * len(paths)
+    for (h, w), idxs in buckets.items():
+        batch, _ = native.decode_batch([buffers[i][0] for i in idxs])
+        out, file_type = process_batch(batch, config, mesh=mesh)
+        out_np = np.asarray(out)
+        # Pre-pack spatial dims (resize/rotate may change them before mono).
+        unpacked = jax.eval_shape(
+            lambda im: run_pipeline(im, config)[0],
+            jax.ShapeDtypeStruct((h, w, 3), np.uint8),
+        ).shape
+        for j, i in enumerate(idxs):
+            out_path = paths[i] + suffix
+            if file_type == FILETYPE_PBM:
+                # out_np rows are already packed bytes from the device.
+                img = out_np[j]
+                height, width = unpacked[0], unpacked[1]
+                header = (
+                    b"P4\n" + ppm.GENERATED_COMMENT + b"%d %d\n" % (width, height)
+                )
+                with open(out_path, "wb") as f:
+                    f.write(header + img.tobytes())
+            else:
+                ppm.write_ppm(
+                    out_path, out_np[j], file_type=file_type, max_color=buffers[i][1]
+                )
+            out_paths[i] = out_path
+    return [p for p in out_paths if p is not None]

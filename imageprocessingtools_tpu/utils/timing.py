@@ -1,0 +1,75 @@
+"""Device timing utilities (survey §5: tracing/profiling subsystem).
+
+Two measurement modes, both robust to this environment's quirks (the axon
+remote tunnel has ~tens-of-ms dispatch RTT and a `block_until_ready` that
+does not actually block; completion is only observable via a dependent
+device-to-host transfer):
+
+- `device_loop_rate`: iterate an image->image op ON DEVICE inside one jitted
+  `lax.fori_loop`, rebuilding each iteration's input from the previous
+  output so nothing hoists; a 0-iteration loop fetch is subtracted as the
+  harness baseline. Measures pure device throughput.
+- `dispatch_time`: single dispatch + dependent fetch. Measures what one
+  CLI-style call costs end-to-end, tunnel included.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _fetch_tiny(x) -> None:
+    np.asarray(jnp.ravel(x)[:1])
+
+
+def device_loop_rate(body, img, iters: int = 20, repeats: int = 3) -> float:
+    """Seconds per iteration of ``body`` (uint8[H,W,3] -> uint8 array).
+
+    The output is recycled into the next [H, W, 3] input via ravel/tile —
+    the measured time includes that feedback materialization, so rates are
+    slight underestimates of the pure op.
+    """
+    h, w, c = img.shape
+    need = h * w * c
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def loop(x, n):
+        def b(_, carry):
+            out = body(carry)
+            flat = jnp.ravel(out.astype(jnp.uint8))
+            reps = -(-need // flat.shape[0])
+            return jnp.tile(flat, reps)[:need].reshape(h, w, c)
+
+        return lax.fori_loop(0, n, b, x)
+
+    img = jax.device_put(np.asarray(img))
+    _fetch_tiny(loop(img, iters))  # compile n=iters
+    _fetch_tiny(loop(img, 0))  # compile n=0
+
+    def run(n):
+        t0 = time.perf_counter()
+        _fetch_tiny(loop(img, n))
+        return time.perf_counter() - t0
+
+    base = min(run(0) for _ in range(repeats))
+    total = min(run(iters) for _ in range(repeats))
+    return max((total - base) / iters, 1e-9)
+
+
+def dispatch_time(fn, *args, repeats: int = 5) -> float:
+    """Seconds for one dispatch + dependent tiny fetch (tunnel included)."""
+    jitted = jax.jit(fn)
+    _fetch_tiny(jitted(*args))
+
+    def run():
+        t0 = time.perf_counter()
+        _fetch_tiny(jitted(*args))
+        return time.perf_counter() - t0
+
+    return min(run() for _ in range(repeats))

@@ -1,0 +1,87 @@
+"""Pallas kernels (interpret mode on CPU) vs golden / XLA ops: bit-exact."""
+
+import numpy as np
+import pytest
+
+import imageprocessingtools_tpu as ipt
+from imageprocessingtools_tpu.golden import model as golden
+from imageprocessingtools_tpu.kernels import pallas_core as pk
+from tests.conftest import make_gradient, make_image
+
+
+@pytest.mark.parametrize("shape", [(16, 128), (32, 256), (24, 384)])
+def test_gaussian_pallas_exact(shape):
+    gray = golden.grayscale(make_image(*shape, seed=1))
+    out = np.asarray(pk.gaussian_blur_pallas(gray, block_rows=8))
+    np.testing.assert_array_equal(out, golden.gaussian_blur(gray))
+
+
+def test_gaussian_pallas_single_block():
+    gray = golden.grayscale(make_image(16, 128, seed=2))
+    out = np.asarray(pk.gaussian_blur_pallas(gray, block_rows=16))
+    np.testing.assert_array_equal(out, golden.gaussian_blur(gray))
+
+
+@pytest.mark.parametrize(
+    "pallas_fn,golden_fn",
+    [
+        (pk.box_blur_pallas, golden.box_blur),
+        (pk.sharpen_pallas, golden.sharpen),
+        (pk.sobel_pallas, golden.sobel),
+    ],
+)
+def test_stencil3_pallas_exact(pallas_fn, golden_fn):
+    gray = golden.grayscale(make_image(24, 256, seed=3))
+    out = np.asarray(pallas_fn(gray, block_rows=8))
+    np.testing.assert_array_equal(out, golden_fn(gray))
+
+
+def test_fused_elementwise_chain():
+    img = make_image(16, 128, seed=4)
+    planes = (img[:, :, 0], img[:, :, 1], img[:, :, 2])
+    out = np.asarray(
+        pk.fused_elementwise_pallas(
+            planes,
+            chain=(("invert", 0), ("brightness", 30), ("threshold", 128)),
+            block_rows=8,
+        )
+    )
+    expected = golden.threshold(
+        golden.brightness(golden.invert(golden.grayscale(img)), 30), 128
+    )
+    np.testing.assert_array_equal(out, expected)
+
+
+def test_fused_elementwise_contrast_budget():
+    img = make_image(16, 128, seed=5)
+    planes = (img[:, :, 0], img[:, :, 1], img[:, :, 2])
+    out = np.asarray(
+        pk.fused_elementwise_pallas(planes, chain=(("contrast", 1.5),), block_rows=8)
+    )
+    expected = golden.contrast(golden.grayscale(img), 1.5)
+    assert np.abs(out.astype(int) - expected.astype(int)).max() <= 1
+
+
+def test_histogram_pallas_exact():
+    gray = golden.grayscale(make_image(32, 128, seed=6))
+    out = np.asarray(pk.histogram_pallas(gray, block_rows=8))
+    np.testing.assert_array_equal(out, golden.histogram(gray))
+
+
+def test_lut_apply_pallas_exact():
+    gray = golden.grayscale(make_gradient(16, 128))
+    rng = np.random.default_rng(7)
+    lut = rng.integers(0, 256, 256, dtype=np.uint8)
+    out = np.asarray(pk.lut_apply_pallas(gray, lut, block_rows=8))
+    np.testing.assert_array_equal(out, lut[gray])
+
+
+def test_fused_pipeline_pallas_matches_xla():
+    from imageprocessingtools_tpu.kernels.fused import (
+        fused_pipeline_pallas,
+        fused_pipeline_xla,
+    )
+
+    img = make_gradient(32, 128)
+    out = np.asarray(fused_pipeline_pallas(img))
+    np.testing.assert_array_equal(out, np.asarray(fused_pipeline_xla(img)))
