@@ -37,8 +37,12 @@ from imageprocessingtools_tpu.ops import (  # noqa: F401
     flip_horizontal,
     flip_vertical,
     rotate,
+    rotate_exact,
     resize_width,
+    resize_width_exact,
     resize,
+    apply_lut,
+    pack_bits_device,
     invert,
     brightness,
     contrast,

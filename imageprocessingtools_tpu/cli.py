@@ -15,6 +15,7 @@ import numpy as np
 
 from imageprocessingtools_tpu.codec.ppm import PPMError, read_ppm, write_ppm
 from imageprocessingtools_tpu.pipeline import PipelineConfig, run_pipeline
+from imageprocessingtools_tpu.utils import log
 
 USAGE = (
     "ppmx-edward [options] (input filename)\n"
@@ -129,6 +130,7 @@ def main(argv: list[str] | None = None) -> int:
         sys.stdout.write(e.message)
         if e.show_usage:
             sys.stdout.write(USAGE)
+        log.emit("arg_error", message=e.message.strip())
         return 255
 
     try:
@@ -143,7 +145,9 @@ def main(argv: list[str] | None = None) -> int:
     except (PPMError, ValueError) as e:
         message = e.message if isinstance(e, PPMError) else str(e)
         sys.stdout.write(message)
+        log.emit("pipeline_error", file=filename, message=message.strip())
         return 255
+    log.emit("ok", file=filename, out=filename + ".out", file_type=file_type)
     return 0
 
 

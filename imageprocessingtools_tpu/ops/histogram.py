@@ -21,7 +21,6 @@ documented +-1 LSB budget).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -11,7 +11,6 @@ parallel host encode (P4 bit packing happens on device).
 from __future__ import annotations
 
 import collections
-import os
 
 import jax
 import numpy as np
