@@ -1,0 +1,114 @@
+// Sanitizer self-test driver for the native codec (survey §5: sanitizers).
+//
+// Exercises header parsing, batched decode, and P4 packing — including the
+// error paths the reference handles unsafely (unterminated comments,
+// truncated payloads, trailing bytes) — so ASan/UBSan can observe the whole
+// surface. Built and run by tests/test_sanitizers.py with
+// -fsanitize=address,undefined; exits nonzero on any behavioral mismatch.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+extern "C" {
+int ppmx_parse_header(const uint8_t*, size_t, uint32_t*, uint32_t*, uint32_t*,
+                      size_t*);
+int ppmx_decode_one(const uint8_t*, size_t, uint8_t*, uint32_t, uint32_t);
+int ppmx_decode_batch(const uint8_t* const*, const size_t*, int, uint8_t*,
+                      uint32_t, uint32_t, int);
+void ppmx_pack_bits(const uint8_t*, uint8_t*, uint32_t, uint32_t);
+}
+
+static int failures = 0;
+#define CHECK(cond, msg)                              \
+  do {                                                \
+    if (!(cond)) {                                    \
+      std::fprintf(stderr, "FAIL: %s\n", msg);        \
+      ++failures;                                     \
+    }                                                 \
+  } while (0)
+
+static std::string make_p6(uint32_t w, uint32_t h, const char* header_extra) {
+  std::string s = "P6\n";
+  s += header_extra;
+  char dims[64];
+  std::snprintf(dims, sizeof dims, "%u %u\n255\n", w, h);
+  s += dims;
+  for (uint32_t i = 0; i < w * h * 3; ++i)
+    s.push_back(static_cast<char>(i * 7 + 3));
+  return s;
+}
+
+int main() {
+  uint32_t w, h, mv;
+  size_t off;
+
+  // Happy path with comments everywhere.
+  std::string good = make_p6(5, 3, "# a comment\n#another\n");
+  CHECK(ppmx_parse_header(reinterpret_cast<const uint8_t*>(good.data()),
+                          good.size(), &w, &h, &mv, &off) == 0,
+        "good header parses");
+  CHECK(w == 5 && h == 3 && mv == 255, "dims parsed");
+
+  // Error paths (must not read out of bounds under ASan).
+  const char* bads[] = {
+      "P5\n2 2\n255\n\0\0\0\0",       // wrong magic
+      "P6\n2 2\n255\n\1\1",           // short payload
+      "P6\n2 2\n255 #unterminated",   // comment to EOF
+      "P6\n",                         // truncated header
+      "",                             // empty
+      "\xff\xfe\xfd",                 // binary garbage
+  };
+  const size_t bad_sizes[] = {12 + 4, 11 + 2, 21, 3, 0, 3};
+  for (size_t i = 0; i < sizeof(bads) / sizeof(bads[0]); ++i) {
+    int rc = ppmx_parse_header(reinterpret_cast<const uint8_t*>(bads[i]),
+                               bad_sizes[i], &w, &h, &mv, &off);
+    CHECK(rc != 0, "bad input rejected");
+  }
+
+  // Batched decode round trip.
+  std::vector<std::string> files;
+  std::vector<const uint8_t*> ptrs;
+  std::vector<size_t> sizes;
+  for (int i = 0; i < 7; ++i) {
+    files.push_back(make_p6(9, 4, i % 2 ? "#c\n" : ""));
+  }
+  for (auto& f : files) {
+    ptrs.push_back(reinterpret_cast<const uint8_t*>(f.data()));
+    sizes.push_back(f.size());
+  }
+  std::vector<uint8_t> out(7 * 4 * 9 * 3);
+  CHECK(ppmx_decode_batch(ptrs.data(), sizes.data(), 7, out.data(), 9, 4, 3) ==
+            0,
+        "batch decodes");
+  CHECK(out[0] == 3, "first pixel byte");
+
+  // Batch with one corrupt member fails cleanly.
+  files[3].pop_back();
+  sizes[3] -= 1;
+  CHECK(ppmx_decode_batch(ptrs.data(), sizes.data(), 7, out.data(), 9, 4, 2) !=
+            0,
+        "corrupt member detected");
+
+  // P4 packing: width 5 -> 1 byte/row, MSB-first.
+  uint8_t bits[2][5] = {{1, 0, 1, 1, 0}, {0, 1, 0, 0, 1}};
+  uint8_t packed[2];
+  ppmx_pack_bits(&bits[0][0], packed, 5, 2);
+  CHECK(packed[0] == 0xB0 && packed[1] == 0x48, "MSB-first packing");
+
+  // Odd widths across the byte boundary.
+  for (uint32_t wid = 1; wid <= 17; ++wid) {
+    std::vector<uint8_t> src(wid * 3, 1);
+    std::vector<uint8_t> dst(((wid + 7) / 8) * 3);
+    ppmx_pack_bits(src.data(), dst.data(), wid, 3);
+  }
+
+  if (failures) {
+    std::fprintf(stderr, "%d failures\n", failures);
+    return 1;
+  }
+  std::puts("selftest OK");
+  return 0;
+}

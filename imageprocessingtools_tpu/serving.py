@@ -46,12 +46,15 @@ def process_files(
     config: PipelineConfig,
     mesh=None,
     suffix: str = ".out",
+    max_batch: int = 256,
 ) -> list[str]:
     """Run the reference pipeline over many files; writes ``<path>.out``.
 
     Files are bucketed by (H, W) so each unique shape compiles once; each
-    bucket is decoded with the native batched codec, processed on device in
-    one vmapped dispatch, and encoded on host. Returns output paths.
+    bucket is decoded with the native batched codec and processed on device
+    in vmapped dispatches of at most ``max_batch`` images (bounding host +
+    HBM memory for e.g. 4096-file runs), then encoded on host.
+    Returns output paths.
     """
     buffers = []
     shapes = []
@@ -67,29 +70,33 @@ def process_files(
         buckets[s].append(i)
 
     out_paths: list[str | None] = [None] * len(paths)
-    for (h, w), idxs in buckets.items():
-        batch, _ = native.decode_batch([buffers[i][0] for i in idxs])
-        out, file_type = process_batch(batch, config, mesh=mesh)
-        out_np = np.asarray(out)
+    for (h, w), all_idxs in buckets.items():
         # Pre-pack spatial dims (resize/rotate may change them before mono).
         unpacked = jax.eval_shape(
             lambda im: run_pipeline(im, config)[0],
             jax.ShapeDtypeStruct((h, w, 3), np.uint8),
         ).shape
-        for j, i in enumerate(idxs):
-            out_path = paths[i] + suffix
-            if file_type == FILETYPE_PBM:
-                # out_np rows are already packed bytes from the device.
-                img = out_np[j]
-                height, width = unpacked[0], unpacked[1]
-                header = (
-                    b"P4\n" + ppm.GENERATED_COMMENT + b"%d %d\n" % (width, height)
-                )
-                with open(out_path, "wb") as f:
-                    f.write(header + img.tobytes())
-            else:
-                ppm.write_ppm(
-                    out_path, out_np[j], file_type=file_type, max_color=buffers[i][1]
-                )
-            out_paths[i] = out_path
+        for k in range(0, len(all_idxs), max_batch):
+            idxs = all_idxs[k : k + max_batch]
+            batch, _ = native.decode_batch([buffers[i][0] for i in idxs])
+            out, file_type = process_batch(batch, config, mesh=mesh)
+            out_np = np.asarray(out)
+            for j, i in enumerate(idxs):
+                out_path = paths[i] + suffix
+                if file_type == FILETYPE_PBM:
+                    # out_np rows are already packed bytes from the device.
+                    height, width = unpacked[0], unpacked[1]
+                    header = (
+                        b"P4\n" + ppm.GENERATED_COMMENT + b"%d %d\n" % (width, height)
+                    )
+                    with open(out_path, "wb") as f:
+                        f.write(header + out_np[j].tobytes())
+                else:
+                    ppm.write_ppm(
+                        out_path,
+                        out_np[j],
+                        file_type=file_type,
+                        max_color=buffers[i][1],
+                    )
+                out_paths[i] = out_path
     return [p for p in out_paths if p is not None]
