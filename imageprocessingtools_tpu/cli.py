@@ -68,7 +68,7 @@ def _parse_args(argv: list[str]) -> tuple[PipelineConfig, str]:
                     )
             elif rest[:1] == "w":
                 digits = rest[1:]
-                if not all(c.isdigit() for c in digits):
+                if not all(c in "0123456789" for c in digits):
                     raise _CliError("Error: invalid option for scaling.\n")
                 if new_width is not None:
                     raise _CliError("Error: Duplicate options not allowed\n")
@@ -81,7 +81,7 @@ def _parse_args(argv: list[str]) -> tuple[PipelineConfig, str]:
                     raise _CliError("Error: invalid option for rotate\n")
                 if angle is not None:
                     raise _CliError("Error: Duplicate options not allowed\n")
-                if not all(c.isdigit() for c in digits):
+                if not all(c in "0123456789" for c in digits):
                     raise _CliError("Error: invalid option for rotate.\n")
                 value = int(digits)
                 if value < 0 or value >= 360:

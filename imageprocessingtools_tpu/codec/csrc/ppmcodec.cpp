@@ -70,9 +70,16 @@ struct Lexer {
     }
     if (!eof && is_digit(cur)) {
       uint64_t v = 0;
-      int digits = 0;
+      int significant = 0;
       while (!eof && is_digit(cur)) {
-        if (digits++ < 19) v = v * 10 + (cur - '0');
+        if (!(v == 0 && cur == '0')) ++significant;  // skip leading zeros
+        if (significant <= 19) {
+          v = v * 10 + static_cast<uint64_t>(cur - '0');
+        } else {
+          // Saturate: matches the Python codec, where an absurdly large
+          // dimension later fails the payload-length check.
+          v = UINT64_MAX / 8;
+        }
         if (!next_char()) return kErrTrailer;
       }
       *out = v;
@@ -106,13 +113,18 @@ int ppmx_parse_header(const uint8_t* data, size_t size, uint32_t* w,
   int k = lex.next_token(&v);
   if (k < 0) return kErrToken;
   if (k != 1) return kErrMagic;
-  if (lex.next_token(&v) != 0) return kErrWidth;
-  *w = static_cast<uint32_t>(v);
-  if (lex.next_token(&v) != 0) return kErrHeight;
-  *h = static_cast<uint32_t>(v);
+  uint64_t w64 = 0, h64 = 0;
+  if (lex.next_token(&w64) != 0) return kErrWidth;
+  if (lex.next_token(&h64) != 0) return kErrHeight;
   if (lex.next_token(&v) != 0) return kErrMaxval;
   *maxval = static_cast<uint32_t>(v);
   *offset = lex.pos;
+  // Dimensions past 2^30 cannot have a full payload in any real input and
+  // would overflow the need computation; classify as short BEFORE the u32
+  // narrowing (matches the Python codec's "unexpected end of file").
+  if (w64 > (1u << 30) || h64 > (1u << 30)) return kErrShort;
+  *w = static_cast<uint32_t>(w64);
+  *h = static_cast<uint32_t>(h64);
   const uint64_t need = static_cast<uint64_t>(*w) * (*h) * 3u;
   if (size - lex.pos < need) return kErrShort;
   if (size - lex.pos > need) return kErrTrailer;

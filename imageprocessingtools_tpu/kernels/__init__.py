@@ -1,8 +1,9 @@
 """Performance layer: fused pipelines and Pallas TPU kernels.
 
-`fused.py` is the XLA-fused flagship pipeline (gray -> 5x5 Gaussian ->
-histogram equalization); `elementwise.py`, `stencil.py`, `histogram.py` are
-the hand-tiled Pallas versions used when they beat XLA's fusion.
+`fused.py` is the flagship pipeline (gray -> 5x5 Gaussian -> histogram
+equalization) in XLA-fused and Pallas variants; `pallas_core.py` holds the
+hand-tiled Pallas kernels (halo stencils, fused elementwise chain, MXU
+histogram / LUT apply).
 """
 
 from imageprocessingtools_tpu.kernels.fused import (  # noqa: F401

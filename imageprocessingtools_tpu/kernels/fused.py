@@ -2,9 +2,10 @@
 
 This is the benchmark pipeline from BASELINE.json (>= 1 GPix/s/chip at 4K).
 The XLA version below expresses the whole pipeline as one jitted graph so XLA
-fuses the elementwise stages into the stencil reads; the histogram is a
-compare-and-reduce (no scatter). Variants with Pallas kernels live beside it;
-`bench.py` picks the fastest.
+fuses the elementwise stages into the stencil reads; the histogram is
+an MXU nibble-one-hot contraction (no scatter). `fused_pipeline_pallas`
+below swaps the Gaussian stage for the tiled Pallas kernel; both variants
+are bit-identical, and bench.py measures the XLA form (measured fastest).
 """
 
 from __future__ import annotations

@@ -32,13 +32,26 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _pick_block_rows(h: int, target: int = 216) -> int:
-    """Largest divisor of h that is <= target (>= 8 preferred)."""
-    best = 1
-    for d in range(1, target + 1):
-        if h % d == 0:
-            best = d
-    return best
+def _pad_rows_edge(x: jnp.ndarray, block_rows: int) -> tuple[jnp.ndarray, int]:
+    """Pad H up to a block_rows multiple by replicating the last row.
+
+    For replicate-boundary stencils this is EXACTLY equivalent to running on
+    the original H: every access past H-1 clamps to row H-1 either way. The
+    caller slices the output back to H.
+    """
+    h = x.shape[0]
+    padded_h = -(-h // block_rows) * block_rows
+    if padded_h != h:
+        x = jnp.pad(x, ((0, padded_h - h), (0, 0)), mode="edge")
+    return x, h
+
+
+def _resolve_block_rows(h: int, block_rows: int | None, radius: int, default: int = 128) -> int:
+    """Validated block size: >= halo radius, bounded by the (padded) H."""
+    br = default if block_rows is None else int(block_rows)
+    if br < max(radius, 1):
+        raise ValueError(f"block_rows={br} must be >= halo radius {radius}")
+    return min(br, max(h, radius, 1))
 
 
 def _halo_specs(block_rows: int, w: int, n: int):
@@ -102,17 +115,19 @@ def _gauss5_kernel(prev_ref, cur_ref, next_ref, out_ref):
 @functools.partial(jax.jit, static_argnames=("block_rows",))
 def gaussian_blur_pallas(gray: jnp.ndarray, block_rows: int | None = None):
     """uint8[H, W] -> uint8[H, W]; bit-identical to ops.stencil.gaussian_blur."""
-    h, w = gray.shape
-    br = block_rows or _pick_block_rows(h)
-    n = h // br
-    return pl.pallas_call(
+    br = _resolve_block_rows(gray.shape[0], block_rows, radius=2)
+    padded, h = _pad_rows_edge(gray, br)
+    ph, w = padded.shape
+    n = ph // br
+    out = pl.pallas_call(
         _gauss5_kernel,
         grid=(n,),
         in_specs=_halo_specs(br, w, n),
         out_specs=pl.BlockSpec((br, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((h, w), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((ph, w), jnp.uint8),
         interpret=_interpret(),
-    )(gray, gray, gray)
+    )(padded, padded, padded)
+    return out[:h]
 
 
 # ---------------------------------------------------------------------------
@@ -142,26 +157,24 @@ def _stencil3_kernel(weights, post, prev_ref, cur_ref, next_ref, out_ref):
 def _make_stencil3(weights, post):
     @functools.partial(jax.jit, static_argnames=("block_rows",))
     def run(img: jnp.ndarray, block_rows: int | None = None):
-        h, w = img.shape
-        br = block_rows or _pick_block_rows(h)
-        n = h // br
-        return pl.pallas_call(
+        br = _resolve_block_rows(img.shape[0], block_rows, radius=1)
+        padded, h = _pad_rows_edge(img, br)
+        ph, w = padded.shape
+        n = ph // br
+        out = pl.pallas_call(
             functools.partial(_stencil3_kernel, weights, post),
             grid=(n,),
             in_specs=_halo_specs(br, w, n),
             out_specs=pl.BlockSpec((br, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((h, w), jnp.uint8),
+            out_shape=jax.ShapeDtypeStruct((ph, w), jnp.uint8),
             interpret=_interpret(),
-        )(img, img, img)
+        )(padded, padded, padded)
+        return out[:h]
 
     return run
 
 
-def _isqrt_round(m):
-    k = jnp.floor(jnp.sqrt(m.astype(jnp.float32)) + 0.5).astype(jnp.int32)
-    k = jnp.where(m > k * k + k, k + 1, k)
-    k = jnp.where(m < k * k - k + 1, k - 1, k)
-    return k
+from imageprocessingtools_tpu.ops.stencil import _isqrt_round  # noqa: E402
 
 
 box_blur_pallas = _make_stencil3(
@@ -221,17 +234,21 @@ def fused_elementwise_pallas(
     f64-LUT `ops.color.contrast`.
     """
     r, g, b = rgb_planes
-    h, w = r.shape
-    br = block_rows or _pick_block_rows(h)
+    br = _resolve_block_rows(r.shape[0], block_rows, radius=1)
+    r, h = _pad_rows_edge(r, br)
+    g, _ = _pad_rows_edge(g, br)
+    b, _ = _pad_rows_edge(b, br)
+    ph, w = r.shape
     spec = pl.BlockSpec((br, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_elementwise_kernel, tuple(chain)),
-        grid=(h // br,),
+        grid=(ph // br,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((h, w), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((ph, w), jnp.uint8),
         interpret=_interpret(),
     )(r, g, b)
+    return out[:h]
 
 
 # ---------------------------------------------------------------------------
@@ -263,17 +280,24 @@ def _hist_kernel(v_ref, out_ref):
 @functools.partial(jax.jit, static_argnames=("block_rows",))
 def histogram_pallas(gray: jnp.ndarray, block_rows: int | None = None):
     """uint8[H, W] -> int32[256] (exact; H*W < 2^24)."""
-    h, w = gray.shape
-    br = block_rows or _pick_block_rows(h, 64)
+    br = _resolve_block_rows(gray.shape[0], block_rows, radius=1, default=64)
+    h = gray.shape[0]
+    padded_h = -(-h // br) * br
+    pad = padded_h - h
+    if pad:
+        # Zero-pad; the extra rows land in bin 0 and are subtracted below.
+        gray = jnp.pad(gray, ((0, pad), (0, 0)))
+    w = gray.shape[1]
     big = pl.pallas_call(
         _hist_kernel,
-        grid=(h // br,),
+        grid=(padded_h // br,),
         in_specs=[pl.BlockSpec((br, w), lambda i: (i, 0), memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((128, 128), jnp.float32),
         interpret=_interpret(),
     )(gray)
-    return big[:16, :16].reshape(256).astype(jnp.int32)
+    hist = big[:16, :16].reshape(256).astype(jnp.int32)
+    return hist.at[0].add(-pad * w) if pad else hist
 
 
 def _lut_kernel(v_ref, lut_ref, out_ref):
@@ -292,19 +316,21 @@ def _lut_kernel(v_ref, lut_ref, out_ref):
 @functools.partial(jax.jit, static_argnames=("block_rows",))
 def lut_apply_pallas(values: jnp.ndarray, lut: jnp.ndarray, block_rows: int | None = None):
     """uint8[H, W] through an integer [256] LUT; exact, gather-free."""
-    h, w = values.shape
-    br = block_rows or _pick_block_rows(h, 64)
+    br = _resolve_block_rows(values.shape[0], block_rows, radius=1, default=64)
+    padded, h = _pad_rows_edge(values, br)
+    ph, w = padded.shape
     lut128 = jnp.zeros((128, 128), jnp.float32).at[:16, :16].set(
         lut.reshape(16, 16).astype(jnp.float32)
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _lut_kernel,
-        grid=(h // br,),
+        grid=(ph // br,),
         in_specs=[
             pl.BlockSpec((br, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((br, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((h, w), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((ph, w), jnp.uint8),
         interpret=_interpret(),
-    )(values, lut128)
+    )(padded, lut128)
+    return out[:h]

@@ -27,7 +27,6 @@ from jax import lax
 from imageprocessingtools_tpu.ops.common import as_i32
 
 _F32_EXACT_COUNT = 1 << 24  # f32 integer-exactness limit for accumulation
-_IOTA16 = None
 
 
 def _iota16():

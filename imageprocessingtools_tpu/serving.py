@@ -11,6 +11,7 @@ parallel host encode (P4 bit packing happens on device).
 from __future__ import annotations
 
 import collections
+import functools
 
 import jax
 import numpy as np
@@ -21,23 +22,38 @@ from imageprocessingtools_tpu.pipeline import PipelineConfig, run_pipeline
 from imageprocessingtools_tpu.codec.ppm import FILETYPE_PBM
 
 
-def process_batch(images: np.ndarray, config: PipelineConfig, mesh=None):
-    """uint8[N, H, W, 3] -> (uint8[N, ...], file_type), vmapped + jitted.
+@functools.lru_cache(maxsize=64)
+def _pipeline_fn(config: PipelineConfig):
+    """One stable callable per config so jit caches hit across chunks
+    (PipelineConfig is a frozen dataclass, hence hashable)."""
 
-    With a mesh, the batch axis is sharded (N must divide the mesh size).
-    """
     def one(img):
         out, _ = run_pipeline(img, config)
         if config.mono:
             out = pack_bits_device(out)  # device-side P4 packing
         return out
 
+    return one
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_local_vmap(fn):
+    return jax.jit(jax.vmap(fn))
+
+
+def process_batch(images: np.ndarray, config: PipelineConfig, mesh=None):
+    """uint8[N, H, W, 3] -> (uint8[N, ...], file_type), vmapped + jitted.
+
+    With a mesh, the batch axis is sharded (N must divide the mesh size).
+    Compiles once per (config, input shape); repeat chunks reuse the cache.
+    """
+    one = _pipeline_fn(config)
     if mesh is not None:
         from imageprocessingtools_tpu.parallel.batch import batch_apply
 
         out = batch_apply(one, images, mesh=mesh)
     else:
-        out = jax.jit(jax.vmap(one))(images)
+        out = _jitted_local_vmap(one)(images)
     return out, config.file_type
 
 
@@ -56,18 +72,19 @@ def process_files(
     HBM memory for e.g. 4096-file runs), then encoded on host.
     Returns output paths.
     """
-    buffers = []
-    shapes = []
+    # First pass: headers only — payloads are re-read per chunk so host
+    # memory stays bounded by max_batch images, not the whole file set.
+    metas = []
     for p in paths:
         with open(p, "rb") as f:
             data = f.read()
         w, h, maxval, _ = native.parse_header(data)
-        buffers.append((data, maxval))
-        shapes.append((h, w))
+        metas.append((h, w, maxval))
+        del data
 
     buckets: dict[tuple[int, int], list[int]] = collections.defaultdict(list)
-    for i, s in enumerate(shapes):
-        buckets[s].append(i)
+    for i, (h, w, _) in enumerate(metas):
+        buckets[(h, w)].append(i)
 
     out_paths: list[str | None] = [None] * len(paths)
     for (h, w), all_idxs in buckets.items():
@@ -78,7 +95,12 @@ def process_files(
         ).shape
         for k in range(0, len(all_idxs), max_batch):
             idxs = all_idxs[k : k + max_batch]
-            batch, _ = native.decode_batch([buffers[i][0] for i in idxs])
+            chunk_buffers = []
+            for i in idxs:
+                with open(paths[i], "rb") as f:
+                    chunk_buffers.append(f.read())
+            batch, _ = native.decode_batch(chunk_buffers)
+            del chunk_buffers
             out, file_type = process_batch(batch, config, mesh=mesh)
             out_np = np.asarray(out)
             for j, i in enumerate(idxs):
@@ -96,7 +118,7 @@ def process_files(
                         out_path,
                         out_np[j],
                         file_type=file_type,
-                        max_color=buffers[i][1],
+                        max_color=metas[i][2],
                     )
                 out_paths[i] = out_path
     return [p for p in out_paths if p is not None]
