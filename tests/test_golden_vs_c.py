@@ -194,3 +194,40 @@ def test_r0_is_identity_copy(ref_runner):
     np.testing.assert_array_equal(
         np.frombuffer(payload, np.uint8).reshape(h, w, 3), img
     )
+
+
+@pytest.mark.parametrize("shape,new_width", [((16, 20), 13), ((31, 24), 37)])
+def test_resize_gradient_bit_exact(ref_runner, shape, new_width):
+    """Smooth gradients hit more .5 rounding boundaries than noise."""
+    img = make_gradient(*shape)
+    code, _, out = ref_runner.run(_p6(img), [f"-w{new_width}"])
+    assert code == 0
+    h, w, payload = _decode_out(out, b"P6")
+    expected = golden.resize_width(img, new_width)
+    np.testing.assert_array_equal(
+        np.frombuffer(payload, np.uint8).reshape(h, w, 3), expected
+    )
+
+
+@pytest.mark.parametrize("value", [0, 127, 128, 255])
+def test_constant_images(ref_runner, value):
+    """Constant images stress rounding/normalization paths."""
+    img = np.full((9, 11, 3), value, dtype=np.uint8)
+    for args in (["-gray"], ["-mono"], ["-w7"], ["-r45"]):
+        code, _, out = ref_runner.run(_p6(img), args)
+        assert code == 0
+        magic = b"P5" if args == ["-gray"] else (b"P4" if args == ["-mono"] else b"P6")
+        h, w, payload = _decode_out(out, magic)
+        fn = {
+            "-gray": lambda im: golden.grayscale(im),
+            "-mono": lambda im: golden.mono_dither(im),
+            "-w7": lambda im: golden.resize_width(im, 7),
+            "-r45": lambda im: golden.rotate(im, 45),
+        }[args[0]]
+        expected = fn(img)
+        if magic == b"P4":
+            assert payload == np.packbits(expected, axis=1).tobytes()
+        else:
+            np.testing.assert_array_equal(
+                np.frombuffer(payload, np.uint8).reshape(expected.shape), expected
+            )
