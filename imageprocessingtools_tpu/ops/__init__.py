@@ -26,6 +26,7 @@ from imageprocessingtools_tpu.ops.geometry import (  # noqa: F401
     rotate180,
     rotate270,
 )
+from imageprocessingtools_tpu.ops.shear_rotate import rotate_fast  # noqa: F401
 from imageprocessingtools_tpu.ops.resize import (  # noqa: F401
     resize_width,
     resize_width_exact,
