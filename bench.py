@@ -64,13 +64,18 @@ def main() -> None:
     img = jax.device_put(rng.integers(0, 256, size=(H, W, 3), dtype=np.uint8))
 
     # The chip is time-shared (contention varies per run by up to ~70x);
-    # min over several spaced repeats approximates the uncontended rate.
+    # min over repeats SPACED over ~1 min approximates the uncontended rate
+    # even if a contended window covers part of the run.
     n = 50
     _timed(img, n)  # compile both variants + warm
     _timed(img, 0)
     base = min(_timed(img, 0) for _ in range(5))
-    total = min(_timed(img, n) for _ in range(5))
-    per_iter = max((total - base) / n, 1e-9)
+    totals = []
+    for rep in range(8):
+        totals.append(_timed(img, n))
+        if rep < 7:
+            time.sleep(6)
+    per_iter = max((min(totals) - base) / n, 1e-9)
 
     mpix_s = (H * W) / per_iter / 1e6
     print(

@@ -1,0 +1,111 @@
+"""Run the five BASELINE.json acceptance configs and print a JSON report.
+
+    python tools/acceptance.py          # real TPU (or whatever backend)
+    JAX_PLATFORMS=cpu python tools/acceptance.py --small   # quick CPU check
+
+Each config reports correctness against the golden model (bit-exact unless
+the op carries the documented +-1 budget) and wall time via the on-device
+loop harness.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import imageprocessingtools_tpu as ipt
+from imageprocessingtools_tpu.codec import ppm
+from imageprocessingtools_tpu.golden import model as golden
+from imageprocessingtools_tpu.utils.timing import device_loop_rate
+
+SMALL = "--small" in sys.argv
+
+
+def _img(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def _maxdiff(a, b):
+    return int(np.abs(np.asarray(a).astype(int) - np.asarray(b).astype(int)).max())
+
+
+def main() -> None:
+    report = {}
+    dims_4k = (270, 480) if SMALL else (2160, 3840)
+    dims_1080 = (135, 240) if SMALL else (1080, 1920)
+
+    # 1. grayscale + invert on one 512x512 P6 (exact).
+    img = _img(512 if not SMALL else 64, 512 if not SMALL else 64, seed=1)
+    data = ppm.encode_ppm(img)
+    decoded, _ = ppm.decode_ppm(data)
+    out = ipt.invert(ipt.grayscale(decoded))
+    exp = golden.invert(golden.grayscale(img))
+    report["1_gray_invert_512"] = {"maxdiff": _maxdiff(out, exp), "expect": 0}
+
+    # 2. brightness/contrast + threshold on 1080p, bit-exact uint8 check.
+    img = _img(*dims_1080, seed=2)
+    out = ipt.threshold(ipt.contrast(ipt.brightness(img, 25), 1.4), 128)
+    exp = golden.threshold(golden.contrast(golden.brightness(img, 25), 1.4), 128)
+    report["2_bright_contrast_thresh_1080p"] = {"maxdiff": _maxdiff(out, exp), "expect": 0}
+
+    # 3. 3x3 box + sharpen + 5x5 gaussian on 4K (tiled stencil path).
+    img = _img(*dims_4k, seed=3)
+    gray = golden.grayscale(img)
+
+    def conv_chain(c):
+        g = ipt.grayscale(c)
+        return ipt.gaussian_blur(ipt.sharpen(ipt.box_blur(g)))
+
+    out = conv_chain(img)
+    exp = golden.gaussian_blur(golden.sharpen(golden.box_blur(gray)))
+    sec = device_loop_rate(conv_chain, img, iters=5)
+    report["3_box_sharpen_gauss_4k"] = {
+        "maxdiff": _maxdiff(out, exp),
+        "expect": 0,
+        "mpix_per_s": round(img.shape[0] * img.shape[1] / sec / 1e6, 1),
+    }
+
+    # 4. 256-bin hist-eq + sobel pipeline on 4K grayscale.
+    def histeq_sobel(c):
+        g = ipt.grayscale(c)
+        return ipt.sobel(ipt.equalize_histogram(g))
+
+    out = histeq_sobel(img)
+    exp = golden.sobel(golden.equalize_histogram(gray))
+    sec = device_loop_rate(histeq_sobel, img, iters=5)
+    report["4_histeq_sobel_4k"] = {
+        "maxdiff": _maxdiff(out, exp),
+        "budget": 9,  # equalize +-1 amplified by sobel's gradient taps
+        "mpix_per_s": round(img.shape[0] * img.shape[1] / sec / 1e6, 1),
+    }
+
+    # 5. batched vmapped decode->filter->encode, sharded over the mesh.
+    import jax
+
+    from imageprocessingtools_tpu.parallel import batched_fused_pipeline, default_mesh
+
+    n = len(jax.devices())
+    batch = np.stack([_img(*dims_1080, seed=10 + i) for i in range(2 * n)])
+    outs = np.asarray(batched_fused_pipeline(batch, mesh=default_mesh()))
+    single = np.asarray(
+        __import__(
+            "imageprocessingtools_tpu.kernels.fused", fromlist=["fused_pipeline_xla"]
+        ).fused_pipeline_xla(batch[0])
+    )
+    report["5_batched_sharded"] = {
+        "devices": n,
+        "batch": int(batch.shape[0]),
+        "matches_single_device": bool((outs[0] == single).all()),
+    }
+
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

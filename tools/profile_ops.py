@@ -6,6 +6,11 @@ the on-device loop harness (see utils/timing.py for methodology).
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import imageprocessingtools_tpu as ipt
