@@ -126,8 +126,12 @@ int ppmx_parse_header(const uint8_t* data, size_t size, uint32_t* w,
   *w = static_cast<uint32_t>(w64);
   *h = static_cast<uint32_t>(h64);
   const uint64_t need = static_cast<uint64_t>(*w) * (*h) * 3u;
-  if (size - lex.pos < need) return kErrShort;
-  if (size - lex.pos > need) return kErrTrailer;
+  const uint64_t avail = size - lex.pos;
+  // Reference quirk: the per-pixel bounds check (ppmx-edward.c:315) fires
+  // only when a pixel STARTS past EOF, so payloads short by 1-3 bytes reach
+  // the strict trailer check (:453, "file format error") instead.
+  if (avail + 3 < need) return kErrShort;
+  if (avail != need) return kErrTrailer;
   return kOk;
 }
 

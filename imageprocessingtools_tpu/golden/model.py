@@ -111,10 +111,17 @@ def rotate(img: np.ndarray, angle_deg: float) -> np.ndarray:
     plan = _exact.plan_rotation(img.shape[0], img.shape[1], angle_deg)
     src = img.astype(np.float64)
     acc = np.zeros((plan.new_height, plan.new_width, img.shape[2]), dtype=np.float64)
+    # Clamp each tap index: plan bases are clipped to [0, max(dim-4, 0)], so
+    # for dims < 4 base+3 would still overrun (numpy fancy indexing gathers
+    # before masking). Clamped taps only occur where the interior mask is
+    # false (interior needs round(n) in (1, dim-2), impossible for dim < 4),
+    # so the garbage values are discarded; for dims >= 4 the clip is a no-op.
     for j in range(4):
+        ty = np.clip(plan.base_y + j, 0, src.shape[0] - 1)
         p = np.zeros_like(acc)
         for i in range(4):
-            tap = src[plan.base_y + j, plan.base_x + i]
+            tx = np.clip(plan.base_x + i, 0, src.shape[1] - 1)
+            tap = src[ty, tx]
             p += tap * plan.weights_x[:, :, i][:, :, None]
         acc += p * plan.weights_y[:, :, j][:, :, None]
     acc = np.where(acc < 0.0, 0.0, acc)

@@ -30,6 +30,8 @@ def batch_apply(fn, images: jnp.ndarray, mesh: Mesh | None = None, axis_name: st
     """
     if mesh is None:
         mesh = default_mesh(axis_name)
+    if axis_name not in mesh.shape and len(mesh.shape) == 1:
+        axis_name = next(iter(mesh.shape))  # 1-D mesh: use its axis name
     n_dev = mesh.shape[axis_name]
     if images.shape[0] % n_dev != 0:
         raise ValueError(

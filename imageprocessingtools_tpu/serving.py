@@ -44,14 +44,25 @@ def _jitted_local_vmap(fn):
 def process_batch(images: np.ndarray, config: PipelineConfig, mesh=None):
     """uint8[N, H, W, 3] -> (uint8[N, ...], file_type), vmapped + jitted.
 
-    With a mesh, the batch axis is sharded (N must divide the mesh size).
+    With a mesh, the batch axis is sharded; a batch that does not divide the
+    mesh size is padded (repeating the last image) up to the next multiple
+    and the padding sliced off the result, so remainder chunks work.
     Compiles once per (config, input shape); repeat chunks reuse the cache.
     """
     one = _pipeline_fn(config)
     if mesh is not None:
         from imageprocessingtools_tpu.parallel.batch import batch_apply
 
+        n = images.shape[0]
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        pad = (-n) % n_dev
+        if pad:
+            images = np.concatenate(
+                [images, np.repeat(images[-1:], pad, axis=0)], axis=0
+            )
         out = batch_apply(one, images, mesh=mesh)
+        if pad:
+            out = out[:n]
     else:
         out = _jitted_local_vmap(one)(images)
     return out, config.file_type

@@ -231,3 +231,19 @@ def test_constant_images(ref_runner, value):
             np.testing.assert_array_equal(
                 np.frombuffer(payload, np.uint8).reshape(expected.shape), expected
             )
+
+
+@pytest.mark.parametrize("angle", [30, 45, 135])
+@pytest.mark.parametrize("shape", [(3, 3), (2, 8), (8, 2), (1, 5), (3, 17)])
+def test_rotate_arbitrary_tiny_dims(ref_runner, shape, angle):
+    """H or W < 4: no interior zone exists (nearest/black only); the golden
+    model must clamp tap gathers instead of crashing (ADVICE r1, medium)."""
+    img = make_image(*shape, seed=11)
+    code, _, out = ref_runner.run(_p6(img), [f"-r{angle}"])
+    assert code == 0
+    h, w, payload = _decode_out(out, b"P6")
+    expected = golden.rotate(img, angle)
+    assert (h, w) == expected.shape[:2]
+    np.testing.assert_array_equal(
+        np.frombuffer(payload, np.uint8).reshape(h, w, 3), expected
+    )

@@ -35,7 +35,8 @@ def test_parse_header_comments_and_maxval():
     "data,msg",
     [
         (b"P5\n2 2\n255\n" + b"\x00" * 12, "error. invalid file format.\n"),
-        (b"P6\n2 2\n255\n" + b"\x00" * 11, "Error: unexpected end of file.\n"),
+        (b"P6\n2 2\n255\n" + b"\x00" * 11, "file format error\n"),  # short by 1-3: trailer check (B4)
+        (b"P6\n2 2\n255\n" + b"\x00" * 8, "Error: unexpected end of file.\n"),
         (b"P6\n2 2\n255\n" + b"\x00" * 13, "file format error\n"),
         (b"\xff\xfe", "error in getting next token. wrong format.\n"),
     ],
