@@ -218,6 +218,204 @@ def _rotate_apply(img, ax, bx, ay, by, xc, yc, *, new_h: int, new_w: int):
     return out[:, :, 0] if squeeze else out
 
 
+# ---------------------------------------------------------------------------
+# Blocked MXU rotation: gather-free arbitrary-angle path.
+#
+# The 16-gather formulation above is index-count-bound on TPU (XLA element
+# gathers; int32 packing bought only ~19%). This path re-expresses the same
+# semantics as dense math: the output is tiled into G x L tiles; for each
+# tile one dynamic_slice pulls the BH x BW source block that contains every
+# tap (block starts precomputed on host in f64), and the 4x4 bicubic
+# gather+MAC becomes
+#     out[c, p] = sum_r ( sum_w block[c, r, w] * Wx[w, p] ) * Wy[r, p]
+# where Wx/Wy are banded selection matrices built on device from the same
+# double-f32 geometry (4 cubic-weighted taps per output pixel). The w-sum
+# runs on the MXU; the r-sum is a VPU reduce. Edge-band pixels reuse the
+# SAME matmul with one-hot weights (their nearest tap is always inside the
+# 4x4 window), so zone semantics are identical to `_rotate_apply`:
+# outside -> black, edge -> nearest, interior -> bicubic (+-1 LSB budget).
+# ---------------------------------------------------------------------------
+
+_BLOCK_G = 8    # output tile rows (f32 sublane count)
+_BLOCK_L = 128  # output tile cols (lane count)
+
+
+@functools.lru_cache(maxsize=32)
+def _blocked_plan(height: int, width: int, angle: float):
+    """Host-side f64 plan for the blocked path; None if the image is smaller
+    than one source block (fallback to the gather path)."""
+    G, L = _BLOCK_G, _BLOCK_L
+    folded = _exact.fold_angle(float(angle))
+    new_w, new_h = _exact.calc_rot_size(folded, width, height)
+    theta = (float(angle) * np.pi) / 180.0
+    cos_t, sin_t = np.cos(theta), np.sin(theta)
+    # Source extent any G x L output tile can touch (+4 taps, +3 safety).
+    bh = int(np.ceil(abs(sin_t) * (L - 1) + abs(cos_t) * (G - 1))) + 7
+    bw = int(np.ceil(abs(cos_t) * (L - 1) + abs(sin_t) * (G - 1))) + 7
+    if height < bh or width < bw:
+        return None
+    x_center = width // 2
+    y_center = height // 2
+    x_offset = new_w // 2 - x_center
+    y_offset = new_h // 2 - y_center
+
+    n_g = -(-new_h // G)
+    n_k = -(-new_w // L)
+    xs = np.arange(new_w, dtype=np.float64) - x_offset - x_center
+    ys = np.arange(new_h, dtype=np.float64) - y_offset - y_center
+    # Edge-pad to full tiles; padded outputs are cropped, their geometry only
+    # has to stay in-range for the block-start min/max below.
+    xs = np.pad(xs, (0, n_k * L - new_w), mode="edge")
+    ys = np.pad(ys, (0, n_g * G - new_h), mode="edge")
+    ax = cos_t * xs      # nX = ax[x] + bx[y] + x_center
+    bx = sin_t * ys
+    ay = -sin_t * xs     # nY = ay[x] + by[y] + y_center
+    by = cos_t * ys
+
+    # Per-tile block starts from f64 corner minima (nX/nY are linear, so the
+    # tile extrema live at tile corners).
+    ax2 = ax.reshape(n_k, L)
+    ay2 = ay.reshape(n_k, L)
+    bx2 = bx.reshape(n_g, G)
+    by2 = by.reshape(n_g, G)
+    ax_min = np.minimum(ax2[:, 0], ax2[:, -1])
+    ay_min = np.minimum(ay2[:, 0], ay2[:, -1])
+    bx_min = np.minimum(bx2[:, 0], bx2[:, -1])
+    by_min = np.minimum(by2[:, 0], by2[:, -1])
+    nx_min = bx_min[:, None] + ax_min[None, :] + x_center   # [n_g, n_k]
+    ny_min = by_min[:, None] + ay_min[None, :] + y_center
+    sx = np.clip(np.floor(nx_min) - 1, 0, width - bw).astype(np.int32)
+    sy = np.clip(np.floor(ny_min) - 1, 0, height - bh).astype(np.int32)
+
+    return (
+        new_h, new_w, bh, bw, n_g, n_k,
+        tuple(map(_split_f64, (ax, bx, ay, by))),
+        sy, sx, float(x_center), float(y_center),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("new_h", "new_w", "bh", "bw", "n_g", "n_k")
+)
+def _rotate_apply_blocked(
+    img, axh, axl, bxh, bxl, ayh, ayl, byh, byl, sy, sx, xc, yc,
+    *, new_h: int, new_w: int, bh: int, bw: int, n_g: int, n_k: int,
+):
+    """Device side of the blocked path (see module comment above).
+
+    Inputs: split f64 geometry terms reshaped to tiles (axh/axl/ayh/ayl
+    [n_k, L]; bxh/bxl/byh/byl [n_g, G]); block starts sy/sx [n_g, n_k].
+    lax.scan over output row-groups, vmap over column chunks.
+    """
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[:, :, None]
+    height, width, nch = img.shape
+    G, L = _BLOCK_G, _BLOCK_L
+    P = G * L
+    planes = jnp.stack([img[:, :, c] for c in range(nch)], axis=0)  # [C,H,W]
+    col_iota = jnp.arange(bw, dtype=jnp.int32)[:, None]
+    row_iota = jnp.arange(bh, dtype=jnp.int32)[:, None]
+
+    def chunk(axh_k, axl_k, ayh_k, ayl_k, syk, sxk, bxg, bxgl, byg, bygl):
+        # Identical double-f32 geometry to _rotate_apply, on one tile.
+        nx_hi, nx_lo = _combine_df32(
+            axh_k[None, :], axl_k[None, :], bxg[:, None], bxgl[:, None], xc
+        )
+        ny_hi, ny_lo = _combine_df32(
+            ayh_k[None, :], ayl_k[None, :], byg[:, None], bygl[:, None], yc
+        )
+        rX = _floor_df32(nx_hi, nx_lo, 0.5)
+        rY = _floor_df32(ny_hi, ny_lo, 0.5)
+        in_bounds = (rX < width) & (rY < height) & (rY >= 0) & (rX >= 0)
+        interior = (
+            in_bounds
+            & (rX > 1) & (rY > 1)
+            & (rX < max(width - 2, 0)) & (rY < max(height - 2, 0))
+        )
+        edge = in_bounds & ~interior
+        fbase_x = _floor_df32(nx_hi, nx_lo) - 1.0
+        fbase_y = _floor_df32(ny_hi, ny_lo) - 1.0
+        base_x = jnp.clip(fbase_x, 0, max(width - 4, 0)).astype(jnp.int32)
+        base_y = jnp.clip(fbase_y, 0, max(height - 4, 0)).astype(jnp.int32)
+        # In-bounds pixels have nearest == round(n) in [0, dim); it always
+        # falls inside the 4x4 tap window (offset 1 or 2 unclipped, 0..3 at
+        # the clip boundaries), so edge pixels ride the same matmul with
+        # one-hot weights instead of cubic ones.
+        nearest_x = jnp.clip(rX, 0, width - 1).astype(jnp.int32)
+        nearest_y = jnp.clip(rY, 0, height - 1).astype(jnp.int32)
+        offx = nearest_x - base_x
+        offy = nearest_y - base_y
+
+        one = jnp.float32(1.0)
+        zero = jnp.float32(0.0)
+        wxs, wys = [], []
+        for t in range(4):
+            cub_x = _cubic_f32((nx_hi - (fbase_x + t)) + nx_lo)
+            cub_y = _cubic_f32((ny_hi - (fbase_y + t)) + ny_lo)
+            wxs.append(jnp.where(
+                interior, cub_x, jnp.where(edge & (offx == t), one, zero)))
+            wys.append(jnp.where(
+                interior, cub_y, jnp.where(edge & (offy == t), one, zero)))
+
+        relx = (base_x - sxk).reshape(P)
+        rely = (base_y - syk).reshape(P)
+        dx = col_iota - relx[None, :]                      # [BW, P]
+        dy = row_iota - rely[None, :]                      # [BH, P]
+        w_x = sum(
+            jnp.where(dx == t, wxs[t].reshape(P)[None, :], zero)
+            for t in range(4)
+        )
+        w_y = sum(
+            jnp.where(dy == t, wys[t].reshape(P)[None, :], zero)
+            for t in range(4)
+        )
+        blk = jax.lax.dynamic_slice(
+            planes, (0, syk, sxk), (nch, bh, bw)
+        ).astype(jnp.float32)
+        h1 = jax.lax.dot_general(                          # [C, BH, P] on MXU
+            blk, w_x, (((2,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        acc = (h1 * w_y[None, :, :]).sum(axis=1)           # [C, P]
+        acc = jnp.where(acc < 0.0, 0.0, acc)
+        acc = jnp.where(acc >= 256.0, 255.0, acc)
+        # int cast truncates (:781); edge/outside values are exact integers.
+        return acc.astype(jnp.int32).astype(jnp.uint8).reshape(nch, G, L)
+
+    def row_group(carry, xs_g):
+        bxg, bxgl, byg, bygl, sy_row, sx_row = xs_g
+        outs = jax.vmap(
+            lambda a, b, c, d, e, f: chunk(a, b, c, d, e, f, bxg, bxgl, byg, bygl)
+        )(axh, axl, ayh, ayl, sy_row, sx_row)              # [n_k, C, G, L]
+        rows = jnp.transpose(outs, (2, 0, 3, 1)).reshape(G, n_k * L, nch)
+        return carry, rows
+
+    _, rows = jax.lax.scan(row_group, None, (bxh, bxl, byh, byl, sy, sx))
+    out = rows.reshape(n_g * G, n_k * L, nch)[:new_h, :new_w]
+    return out[:, :, 0] if squeeze else out
+
+
+def _rotate_blocked(img, angle: float):
+    """Blocked-path dispatch; returns None when the plan doesn't apply."""
+    plan = _blocked_plan(img.shape[0], img.shape[1], angle)
+    if plan is None:
+        return None
+    new_h, new_w, bh, bw, n_g, n_k, splits, sy, sx, xc, yc = plan
+    (axh, axl), (bxh, bxl), (ayh, ayl), (byh, byl) = splits
+    G, L = _BLOCK_G, _BLOCK_L
+    return _rotate_apply_blocked(
+        jnp.asarray(img),
+        jnp.asarray(axh.reshape(n_k, L)), jnp.asarray(axl.reshape(n_k, L)),
+        jnp.asarray(bxh.reshape(n_g, G)), jnp.asarray(bxl.reshape(n_g, G)),
+        jnp.asarray(ayh.reshape(n_k, L)), jnp.asarray(ayl.reshape(n_k, L)),
+        jnp.asarray(byh.reshape(n_g, G)), jnp.asarray(byl.reshape(n_g, G)),
+        jnp.asarray(sy), jnp.asarray(sx), xc, yc,
+        new_h=new_h, new_w=new_w, bh=bh, bw=bw, n_g=n_g, n_k=n_k,
+    )
+
+
 def rotate_exact(img, angle_deg: float):
     """float64 exactness mode (survey §4): bit-exact vs the C binary.
 
@@ -244,6 +442,9 @@ def rotate(img: jnp.ndarray, angle_deg: float) -> jnp.ndarray:
         return rotate180(img)
     if angle == 270.0:
         return rotate270(img)
+    blocked = _rotate_blocked(img, angle)
+    if blocked is not None:
+        return blocked
     new_h, new_w, ax, bx, ay, by, xc, yc = _rotation_geometry(
         img.shape[0], img.shape[1], angle
     )

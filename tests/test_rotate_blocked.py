@@ -1,0 +1,77 @@
+"""Blocked MXU rotation path: parity with golden + the C zone semantics.
+
+Images here are large enough that `geometry._blocked_plan` applies (the
+gather fallback covers the small shapes in the other suites). Budget: zone
+masks and edge/outside values exact; interior bicubic +-1 LSB (f32 matmul
+vs the golden f64 accumulation).
+"""
+
+import numpy as np
+import pytest
+
+from imageprocessingtools_tpu.golden import model as golden
+from imageprocessingtools_tpu.ops import _exact, geometry
+
+
+def _check(img, angle):
+    plan = geometry._blocked_plan(img.shape[0], img.shape[1], float(angle))
+    assert plan is not None, "test shape must take the blocked path"
+    out = np.asarray(geometry.rotate(img, angle))
+    exp = golden.rotate(img, angle)
+    assert out.shape == exp.shape
+    rp = _exact.plan_rotation(img.shape[0], img.shape[1], float(angle))
+    outside = ~(rp.interior | rp.edge)
+    diff = np.abs(out.astype(np.int64) - exp.astype(np.int64))
+    np.testing.assert_array_equal(diff[outside], 0)
+    np.testing.assert_array_equal(diff[rp.edge], 0)
+    assert diff.max() <= 1
+
+
+@pytest.mark.parametrize("angle", [1, 30, 45, 77, 135, 222, 359])
+def test_blocked_rotate_rgb(angle):
+    rng = np.random.default_rng(angle)
+    img = rng.integers(0, 256, size=(200, 300, 3), dtype=np.uint8)
+    _check(img, angle)
+
+
+@pytest.mark.parametrize("angle", [30, 135])
+def test_blocked_rotate_gray_2d(angle):
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(160, 200), dtype=np.uint8)
+    _check(img, angle)
+
+
+def test_blocked_rotate_gradient():
+    """Smooth image: rounding boundaries exercised differently than noise."""
+    from tests.conftest import make_gradient
+
+    _check(make_gradient(176, 240), 30)
+
+
+def test_small_image_falls_back():
+    assert geometry._blocked_plan(48, 64, 30.0) is None
+    # and the gather path still serves it (covered by the main suites).
+    img = np.random.default_rng(0).integers(0, 256, (48, 64, 3), np.uint8)
+    out = np.asarray(geometry.rotate(img, 30))
+    assert out.shape == golden.rotate(img, 30).shape
+
+
+def test_blocked_vs_c_binary(ref_runner):
+    """End-to-end differential vs the compiled reference at blocked size."""
+    from imageprocessingtools_tpu.codec import ppm
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(160, 208, 3), dtype=np.uint8)
+    assert geometry._blocked_plan(160, 208, 30.0) is not None
+    code, _, out_bytes = ref_runner.run(ppm.encode_ppm(img), ["-r30"])
+    assert code == 0
+    lines = out_bytes.split(b"\n", 3)
+    w, h = (int(t) for t in lines[2].split(b" ") if t)
+    payload = lines[3].split(b"\n", 1)[1]
+    expected = np.frombuffer(payload, np.uint8).reshape(h, w, 3)
+    actual = np.asarray(geometry.rotate(img, 30))
+    assert actual.shape == expected.shape
+    rp = _exact.plan_rotation(160, 208, 30.0)
+    diff = np.abs(actual.astype(np.int64) - expected.astype(np.int64))
+    np.testing.assert_array_equal(diff[~rp.interior], 0)
+    assert diff.max() <= 1
