@@ -279,7 +279,17 @@ def _hist_kernel(v_ref, out_ref):
 
 @functools.partial(jax.jit, static_argnames=("block_rows",))
 def histogram_pallas(gray: jnp.ndarray, block_rows: int | None = None):
-    """uint8[H, W] -> int32[256] (exact; H*W < 2^24)."""
+    """uint8[H, W] -> int32[256] (exact; requires H*W < 2^24).
+
+    The f32 accumulator loses integer exactness once one bin exceeds 2^24
+    (e.g. a constant 4096x4096 image), so such inputs are rejected rather
+    than silently wrong; ops.histogram chunks and stays exact at any size.
+    """
+    if gray.shape[0] * gray.shape[1] >= 2**24:
+        raise ValueError(
+            f"histogram_pallas requires H*W < 2^24 for exact f32 bin counts; "
+            f"got {gray.shape[0]}x{gray.shape[1]}; use ops.histogram instead"
+        )
     br = _resolve_block_rows(gray.shape[0], block_rows, radius=1, default=64)
     h = gray.shape[0]
     padded_h = -(-h // br) * br

@@ -117,16 +117,47 @@ def _combine_df32(a_hi, a_lo, b_hi, b_lo, c):
     return s2, e + e2 + (a_lo + b_lo)
 
 
-def _floor_df32(hi, lo, add=0.0):
-    """floor(hi + lo + add) with f64-grade boundary decisions.
+def _half_ulp64(x):
+    """Half-ulp of float64 at |x|, from the f32 exponent bits (exact)."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+    e = ((bits >> 23) & 0xFF) - 127          # floor(log2|x|) for normals
+    e_eps = e - 53                           # ulp64(x) = 2^(e-52)
+    eps_bits = jnp.where(e_eps >= -126, (e_eps + 127) << 23, 0)
+    return jax.lax.bitcast_convert_type(eps_bits.astype(jnp.int32), jnp.float32)
 
-    hi - t is exact (Sterbenz: |hi - t| <= ~1, same magnitude), so the
-    residual d carries full precision and fixes up the f32 floor.
+
+def _floor_df32(hi, lo, add=0.0):
+    """floor(round_f64(hi + lo + add)) — bit-faithful to the C's f64 path.
+
+    Two precision subtleties, both found by the rotation_decisions_safe
+    audit (full-pixel divergences at e.g. 30 and 300 deg otherwise):
+
+    1. The residual d = (hi + lo + add) - t must be kept as a NORMALIZED
+       double-f32 pair: hi - t is exact (Sterbenz), then two-sums fold in
+       add and lo. A naive `(hi - t) + (lo + add)` swallows lo against
+       add=0.5 (f32 keeps 2^-24 relative), flipping round() where sin/cos
+       land coordinates ~1e-15 from an x.5 boundary (60/120/240/300 deg:
+       cos is 0.5 +- 1 f64 ulp).
+    2. The pair can be MORE precise than the C: the C's nY = a + b + c
+       rounds to 53 bits, so a true value half-an-f64-ulp below x.5 becomes
+       EXACTLY x.5 in the C and rounds up, while the pair keeps the dust
+       and would floor down (30 deg: sin*ys + yc = 10.5 - 4.4e-16 -> C sees
+       10.5). Decisions therefore shift by eps = half-ulp64(|value|): the
+       boundary where the C's rounding tips.
     """
-    t = jnp.floor(hi + (lo + add))
-    d = (hi - t) + (lo + add)
-    t = jnp.where(d >= 1.0, t + 1.0, t)
-    t = jnp.where(d < 0.0, t - 1.0, t)
+    t = jnp.floor(hi + (lo + add))          # first guess, off by at most 1
+    r = hi - t                              # exact
+    s1, e1 = _two_sum(r, add)
+    s2, e2 = _two_sum(s1, lo)
+    d_hi, e3 = _two_sum(s2, e1)             # renormalize: |d_lo| <= ulp(d_hi)/2
+    d_lo = e3 + e2
+    eps = _half_ulp64(hi)
+    # (eps << ulp32(1)/2, so no f32 value sits in (1-eps, 1): the == tests
+    # cover the boundary cases exactly.)
+    ge1 = (d_hi > 1.0) | ((d_hi == 1.0) & (d_lo >= -eps))
+    lt0 = (d_hi < -eps) | ((d_hi == -eps) & (d_lo < 0.0))
+    t = jnp.where(ge1, t + 1.0, t)
+    t = jnp.where(lt0 & ~ge1, t - 1.0, t)
     return t
 
 
@@ -427,11 +458,106 @@ def rotate_exact(img, angle_deg: float):
     return _golden.rotate(np.asarray(img), float(angle_deg))
 
 
-def rotate(img: jnp.ndarray, angle_deg: float) -> jnp.ndarray:
+def _round_df32_host(a: np.ndarray, b: np.ndarray, c: float) -> np.ndarray:
+    """Numpy f32 replica of the device's _combine_df32 + _floor_df32(+0.5).
+
+    Bit-for-bit the same IEEE f32 operations the device runs, so comparing
+    its output with the f64 truth audits the REAL decision divergence, not a
+    margin model. Returns round-half-up(a + b + c) as f32 integers.
+    """
+    f32 = np.float32
+    a_hi = a.astype(f32)
+    a_lo = (a - a_hi).astype(f32)
+    b_hi = b.astype(f32)
+    b_lo = (b - b_hi).astype(f32)
+    a_hi, a_lo = a_hi[None, :], a_lo[None, :]
+    b_hi, b_lo = b_hi[:, None], b_lo[:, None]
+    s = a_hi + b_hi
+    bb = s - a_hi
+    e = (a_hi - (s - bb)) + (b_hi - bb)
+    c32 = f32(c)
+    s2 = s + c32
+    bb2 = s2 - s
+    e2 = (s - (s2 - bb2)) + (c32 - bb2)
+    hi = s2
+    lo = e + e2 + (a_lo + b_lo)
+    add = f32(0.5)
+
+    def two_sum(p, q):
+        ts = p + q
+        tb = ts - p
+        return ts, (p - (ts - tb)) + (q - tb)
+
+    t = np.floor(hi + (lo + add))
+    r = hi - t
+    s1, e1 = two_sum(r, np.broadcast_to(add, r.shape).astype(f32))
+    sB, eB = two_sum(s1, lo)
+    d_hi, e3 = two_sum(sB, e1)
+    d_lo = e3 + eB
+    bits = np.abs(hi).view(np.int32)
+    e_exp = ((bits >> 23) & 0xFF) - 127
+    e_eps = e_exp - 53
+    eps_bits = np.where(e_eps >= -126, (e_eps + 127) << 23, 0).astype(np.int32)
+    eps = eps_bits.view(f32)
+    ge1 = (d_hi > f32(1.0)) | ((d_hi == f32(1.0)) & (d_lo >= -eps))
+    lt0 = (d_hi < -eps) | ((d_hi == -eps) & (d_lo < f32(0.0)))
+    t = np.where(ge1, t + f32(1.0), t)
+    t = np.where(lt0 & ~ge1, t - f32(1.0), t)
+    return t
+
+
+@functools.lru_cache(maxsize=64)
+def rotation_decisions_safe(height: int, width: int, angle: float) -> bool:
+    """True if the device's double-f32 zone/nearest decisions match the C's
+    f64 decisions for EVERY output pixel (host audit, cached per geometry).
+
+    Replicates the device's f32 arithmetic on host and compares the
+    observables — zone masks and, where the nearest-neighbor band applies,
+    the nearest index. Tap-base (floor) divergences are ignored: the cubic
+    kernel is continuous across a base shift, so those stay inside the +-1
+    budget. O(outH*outW) on host; ~0.5 s at 4K.
+    """
+    folded = _exact.fold_angle(float(angle))
+    new_w, new_h = _exact.calc_rot_size(folded, width, height)
+    theta = (float(angle) * np.pi) / 180.0
+    x_center, y_center = width // 2, height // 2
+    xs = np.arange(new_w, dtype=np.float64) - (new_w // 2 - x_center) - x_center
+    ys = np.arange(new_h, dtype=np.float64) - (new_h // 2 - y_center) - y_center
+
+    def decisions(rX, rY):
+        in_b = (rX < width) & (rY < height) & (rY >= 0) & (rX >= 0)
+        interior = (
+            in_b & (rX > 1) & (rY > 1)
+            & (rX < max(width - 2, 0)) & (rY < max(height - 2, 0))
+        )
+        edge = in_b & ~interior
+        return interior, edge
+
+    nx64 = np.cos(theta) * xs[None, :] + np.sin(theta) * ys[:, None] + x_center
+    ny64 = -np.sin(theta) * xs[None, :] + np.cos(theta) * ys[:, None] + y_center
+    rx64 = np.floor(nx64 + 0.5)
+    ry64 = np.floor(ny64 + 0.5)
+    rx32 = _round_df32_host(np.cos(theta) * xs, np.sin(theta) * ys, x_center)
+    ry32 = _round_df32_host(-np.sin(theta) * xs, np.cos(theta) * ys, y_center)
+    i64, e64 = decisions(rx64, ry64)
+    i32, e32 = decisions(rx32.astype(np.float64), ry32.astype(np.float64))
+    if (i64 != i32).any() or (e64 != e32).any():
+        return False
+    if e64.any():
+        same_nearest = (rx64 == rx32) & (ry64 == ry32)
+        if not bool(same_nearest[e64].all()):
+            return False
+    return True
+
+
+def rotate(img: jnp.ndarray, angle_deg: float, strict: bool = False) -> jnp.ndarray:
     """CW rotation by ``angle_deg`` with the reference's exact zone logic.
 
     ``angle_deg`` must be static (output shape depends on it). 0/90/180/270
     take exact permutation fast paths (``ppmx-edward.c:701-725``).
+    ``strict=True`` additionally verifies on host (f64, cached per
+    shape/angle) that no pixel's zone decision is ambiguous at double-f32
+    precision, falling back to the bit-exact host path when one is.
     """
     angle = float(angle_deg)
     if angle == 0.0:
@@ -442,6 +568,8 @@ def rotate(img: jnp.ndarray, angle_deg: float) -> jnp.ndarray:
         return rotate180(img)
     if angle == 270.0:
         return rotate270(img)
+    if strict and not rotation_decisions_safe(img.shape[0], img.shape[1], angle):
+        return jnp.asarray(rotate_exact(img, angle))
     blocked = _rotate_blocked(img, angle)
     if blocked is not None:
         return blocked

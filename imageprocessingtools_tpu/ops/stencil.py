@@ -10,8 +10,8 @@ integer-exact so TPU float quirks can't cause divergence:
                float estimate + integer fix-up (k^2 - k + 1 <= m <= k^2 + k)
 
 Edges use replicate padding. Implementation is shifted-window adds in int32 —
-XLA fuses the whole chain into one VPU pass; `kernels/stencil.py` provides the
-Pallas-tiled version for the fused perf pipeline.
+XLA fuses the whole chain into one VPU pass; `kernels/pallas_core.py` provides
+the Pallas-tiled halo versions for the fused perf pipeline.
 """
 
 from __future__ import annotations

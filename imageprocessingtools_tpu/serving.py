@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import collections
 import functools
+import queue
+import threading
 
 import jax
 import numpy as np
@@ -68,12 +70,45 @@ def process_batch(images: np.ndarray, config: PipelineConfig, mesh=None):
     return out, config.file_type
 
 
+def _encode_chunk(idxs, out_np, file_type, unpacked, paths, metas, suffix,
+                  out_paths) -> None:
+    """Host-encode one processed chunk to ``<path><suffix>`` files."""
+    for j, i in enumerate(idxs):
+        out_path = paths[i] + suffix
+        if file_type == FILETYPE_PBM:
+            # out_np rows are already packed bytes from the device.
+            height, width = unpacked[0], unpacked[1]
+            header = (
+                b"P4\n" + ppm.GENERATED_COMMENT + b"%d %d\n" % (width, height)
+            )
+            with open(out_path, "wb") as f:
+                f.write(header + out_np[j].tobytes())
+        else:
+            ppm.write_ppm(
+                out_path,
+                out_np[j],
+                file_type=file_type,
+                max_color=metas[i][2],
+            )
+        out_paths[i] = out_path
+
+
+def _read_and_decode(paths, idxs):
+    buffers = []
+    for i in idxs:
+        with open(paths[i], "rb") as f:
+            buffers.append(f.read())
+    batch, _ = native.decode_batch(buffers)
+    return batch
+
+
 def process_files(
     paths: list[str],
     config: PipelineConfig,
     mesh=None,
     suffix: str = ".out",
     max_batch: int = 256,
+    overlap: bool = True,
 ) -> list[str]:
     """Run the reference pipeline over many files; writes ``<path>.out``.
 
@@ -81,17 +116,20 @@ def process_files(
     bucket is decoded with the native batched codec and processed on device
     in vmapped dispatches of at most ``max_batch`` images (bounding host +
     HBM memory for e.g. 4096-file runs), then encoded on host.
-    Returns output paths.
+
+    With ``overlap=True`` the three stages run pipelined: a reader thread
+    decodes chunk N+1 and a writer thread encodes chunk N-1 while the device
+    processes chunk N (the reference is strictly serial decode->op->encode,
+    ``ppmx-edward.c:1053-1172``). Queues are bounded to 2 chunks so host
+    memory stays ~5 chunks regardless of file count. Returns output paths.
     """
-    # First pass: headers only — payloads are re-read per chunk so host
-    # memory stays bounded by max_batch images, not the whole file set.
+    # First pass: headers only — reads a 64 KB prefix + stat per file (NOT
+    # the payload); payloads are read per chunk so host memory stays bounded
+    # by a few chunks, not the whole file set.
     metas = []
     for p in paths:
-        with open(p, "rb") as f:
-            data = f.read()
-        w, h, maxval, _ = native.parse_header(data)
+        w, h, maxval, _ = ppm.parse_file_header(p)
         metas.append((h, w, maxval))
-        del data
 
     buckets: dict[tuple[int, int], list[int]] = collections.defaultdict(list)
     for i, (h, w, _) in enumerate(metas):
@@ -104,32 +142,64 @@ def process_files(
             lambda im: run_pipeline(im, config)[0],
             jax.ShapeDtypeStruct((h, w, 3), np.uint8),
         ).shape
-        for k in range(0, len(all_idxs), max_batch):
-            idxs = all_idxs[k : k + max_batch]
-            chunk_buffers = []
-            for i in idxs:
-                with open(paths[i], "rb") as f:
-                    chunk_buffers.append(f.read())
-            batch, _ = native.decode_batch(chunk_buffers)
-            del chunk_buffers
-            out, file_type = process_batch(batch, config, mesh=mesh)
-            out_np = np.asarray(out)
-            for j, i in enumerate(idxs):
-                out_path = paths[i] + suffix
-                if file_type == FILETYPE_PBM:
-                    # out_np rows are already packed bytes from the device.
-                    height, width = unpacked[0], unpacked[1]
-                    header = (
-                        b"P4\n" + ppm.GENERATED_COMMENT + b"%d %d\n" % (width, height)
-                    )
-                    with open(out_path, "wb") as f:
-                        f.write(header + out_np[j].tobytes())
-                else:
-                    ppm.write_ppm(
-                        out_path,
-                        out_np[j],
-                        file_type=file_type,
-                        max_color=metas[i][2],
-                    )
-                out_paths[i] = out_path
+        chunks = [
+            all_idxs[k : k + max_batch]
+            for k in range(0, len(all_idxs), max_batch)
+        ]
+        if not overlap or len(chunks) == 1:
+            for idxs in chunks:
+                batch = _read_and_decode(paths, idxs)
+                out, file_type = process_batch(batch, config, mesh=mesh)
+                _encode_chunk(idxs, np.asarray(out), file_type, unpacked,
+                              paths, metas, suffix, out_paths)
+            continue
+
+        decode_q: queue.Queue = queue.Queue(maxsize=2)
+        encode_q: queue.Queue = queue.Queue(maxsize=2)
+        errors: list[BaseException] = []
+
+        def reader():
+            try:
+                for idxs in chunks:
+                    if errors:
+                        return
+                    decode_q.put((idxs, _read_and_decode(paths, idxs)))
+            except BaseException as e:  # surfaced in the main thread
+                errors.append(e)
+            finally:
+                decode_q.put(None)
+
+        def writer():
+            try:
+                while True:
+                    item = encode_q.get()
+                    if item is None:
+                        return
+                    _encode_chunk(*item, paths, metas, suffix, out_paths)
+            except BaseException as e:
+                errors.append(e)
+
+        rt = threading.Thread(target=reader, daemon=True)
+        wt = threading.Thread(target=writer, daemon=True)
+        rt.start()
+        wt.start()
+        try:
+            while True:
+                item = decode_q.get()
+                if item is None:
+                    break
+                idxs, batch = item
+                out, file_type = process_batch(batch, config, mesh=mesh)
+                # np.asarray is the dependent transfer that observes device
+                # completion (block_until_ready is a no-op through the
+                # tunnel); the reader keeps decoding meanwhile.
+                encode_q.put((idxs, np.asarray(out), file_type, unpacked))
+                if errors:
+                    break
+        finally:
+            encode_q.put(None)
+            rt.join()
+            wt.join()
+        if errors:
+            raise errors[0]
     return [p for p in out_paths if p is not None]

@@ -49,7 +49,10 @@ def test_rot_orthogonal_exact(shape):
         _assert_close_u8(ipt.rotate(img, angle), fn(img))
 
 
-@pytest.mark.parametrize("angle", [30, 45, 135, 222, 359])
+# 60/120/240/300 regression the half-ulp64 boundary shift in _floor_df32:
+# their cos/sin are 0.5 +- 1 f64 ulp, landing coordinates ~1e-15 from x.5
+# boundaries where naive double-f32 flips round() by a full pixel.
+@pytest.mark.parametrize("angle", [30, 45, 60, 120, 135, 222, 240, 300, 359])
 @pytest.mark.parametrize("shape", SHAPES_ROT)
 def test_rotate_arbitrary_within_budget(shape, angle):
     img = make_gradient(*shape)

@@ -82,7 +82,7 @@ def test_rotate_orthogonal(ref_runner, shape, angle):
     )
 
 
-@pytest.mark.parametrize("angle", [1, 30, 45, 77, 135, 179, 181, 222, 269, 271, 300, 359])
+@pytest.mark.parametrize("angle", [1, 30, 45, 60, 77, 120, 135, 179, 181, 222, 240, 269, 271, 300, 359])
 @pytest.mark.parametrize("shape", SHAPES_ROT)
 def test_rotate_arbitrary_bit_exact(ref_runner, shape, angle):
     img = make_gradient(*shape)

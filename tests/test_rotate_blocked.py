@@ -75,3 +75,53 @@ def test_blocked_vs_c_binary(ref_runner):
     diff = np.abs(actual.astype(np.int64) - expected.astype(np.int64))
     np.testing.assert_array_equal(diff[~rp.interior], 0)
     assert diff.max() <= 1
+
+
+def test_rotation_decisions_safe_and_strict():
+    """Opt-in f64 boundary audit (ADVICE r1): safe angles use the device
+    path; an artificially huge margin forces the bit-exact fallback."""
+    from imageprocessingtools_tpu.ops.geometry import (
+        rotate, rotation_decisions_safe)
+
+    # The audit replicates the device's f32 decisions; these geometries
+    # must agree with f64 everywhere (the differential suites prove the
+    # same empirically).
+    for a in (30.0, 45.0, 135.0, 1.0):
+        assert rotation_decisions_safe(48, 64, a)
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    out = np.asarray(rotate(img, 30, strict=True))
+    assert out.shape == golden.rotate(img, 30).shape
+    # An (injected) ambiguous geometry -> strict must go bit-exact.
+    orig = geometry.rotation_decisions_safe
+    geometry.rotation_decisions_safe = lambda h, w, a: False
+    try:
+        out = np.asarray(rotate(img, 30, strict=True))
+    finally:
+        geometry.rotation_decisions_safe = orig
+    np.testing.assert_array_equal(out, golden.rotate(img, 30))
+
+
+@pytest.mark.parametrize("angle", [60, 120, 240, 300])
+def test_half_ulp_boundary_family(angle):
+    """cos/sin = 0.5 +- 1 f64 ulp family: zone/nearest decisions must match
+    the C's f64 rounding exactly (regression for the _floor_df32 eps shift;
+    the naive form diverged by full pixels here)."""
+    rng = np.random.default_rng(angle)
+    img = rng.integers(0, 256, size=(200, 300, 3), dtype=np.uint8)
+    _check(img, angle)
+    assert geometry.rotation_decisions_safe(200, 300, float(angle))
+
+
+@pytest.mark.parametrize("shape", [(13, 17), (48, 64)])
+def test_half_ulp_boundary_family_gather_path(shape):
+    """Same regression through the gather fallback (small images)."""
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, size=shape + (3,), dtype=np.uint8)
+    assert geometry._blocked_plan(shape[0], shape[1], 300.0) is None
+    out = np.asarray(geometry.rotate(img, 300))
+    exp = golden.rotate(img, 300)
+    rp = _exact.plan_rotation(shape[0], shape[1], 300.0)
+    diff = np.abs(out.astype(np.int64) - exp.astype(np.int64))
+    np.testing.assert_array_equal(diff[~rp.interior], 0)
+    assert diff.max() <= 1

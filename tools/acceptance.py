@@ -104,6 +104,55 @@ def main() -> None:
         "matches_single_device": bool((outs[0] == single).all()),
     }
 
+    # 6. REFERENCE op: arbitrary rotation (blocked MXU path). Parity vs the
+    # golden f64 oracle at 1080p (zones exact, interior +-1); rate at 4K.
+    from imageprocessingtools_tpu.ops import _exact, geometry
+
+    img = _img(*dims_1080, seed=6)
+    out = np.asarray(ipt.rotate(img, 30))
+    exp = golden.rotate(img, 30)
+    rp = _exact.plan_rotation(*dims_1080, 30.0)
+    nonint = ~rp.interior
+    zones_exact = bool(
+        (out[nonint] == exp[nonint]).all()
+    )
+    img4k = _img(*dims_4k, seed=6)
+    sec = device_loop_rate(lambda c: ipt.rotate(c, 30), img4k, iters=3)
+    report["6_rotate30"] = {
+        "maxdiff": _maxdiff(out, exp),
+        "budget": 1,
+        "zones_exact": zones_exact,
+        "blocked_path": geometry._blocked_plan(*dims_1080, 30.0) is not None,
+        "mpix_per_s_4k": round(img4k.shape[0] * img4k.shape[1] / sec / 1e6, 1),
+    }
+
+    # 7. REFERENCE op: bicubic resize 4K -> 1920 (MXU matmuls), budget +-1.
+    new_w = dims_4k[1] // 2
+    out = np.asarray(ipt.resize_width(img4k, new_w))
+    exp = golden.resize_width(img4k, new_w)
+    sec = device_loop_rate(lambda c: ipt.resize_width(c, new_w), img4k, iters=5)
+    report["7_resize_4k_to_half"] = {
+        "maxdiff": _maxdiff(out, exp),
+        "budget": 1,
+        "mpix_per_s_input": round(img4k.shape[0] * img4k.shape[1] / sec / 1e6, 1),
+    }
+
+    # 8. REFERENCE exact ops at 4K: bit-exact, gray rate as representative.
+    checks = {
+        "gray": (ipt.grayscale, golden.grayscale),
+        "mono": (ipt.mono_dither, golden.mono_dither),
+        "flip_v": (ipt.flip_vertical, golden.flip_vertical),
+        "flip_h": (ipt.flip_horizontal, golden.flip_horizontal),
+        "rot90": (lambda c: ipt.rotate(c, 90), golden.rotate90),
+    }
+    md = {k: _maxdiff(dev(img4k), gold(img4k)) for k, (dev, gold) in checks.items()}
+    sec = device_loop_rate(ipt.grayscale, img4k, iters=10)
+    report["8_exact_ops_4k"] = {
+        "maxdiff": md,
+        "expect": 0,
+        "gray_mpix_per_s": round(img4k.shape[0] * img4k.shape[1] / sec / 1e6, 1),
+    }
+
     print(json.dumps(report, indent=2))
 
 

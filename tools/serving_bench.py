@@ -1,0 +1,172 @@
+"""At-scale serving benchmark: BASELINE.md row 3 (batched decode->op->encode).
+
+    python tools/serving_bench.py [--n 256] [--unique 32] [--dims 1080x1920]
+                                  [--op gray] [--ab] [--max-batch 64]
+
+Generates `--unique` distinct P6 files once (the path list cycles them to
+reach `--n` logical images; per-image I/O volume is identical to distinct
+files), then times `serving.process_files` end-to-end: header pass, chunked
+native parallel decode, device pipeline, host encode — with the pipelined
+reader/writer overlap.
+
+IMPORTANT context for reading the numbers: this environment reaches its TPU
+through a remote tunnel measured at ~5-15 MB/s each way (vs >= 16 GB/s for
+a production host-attached chip), so the end-to-end figure here is
+tunnel-transfer-bound, not compute- or codec-bound. The report therefore
+also measures each component in isolation — tunnel bandwidth, host decode,
+host encode, and resident-device pipeline rate — and derives the
+production-bound estimate min(decode, device, encode) that a host-attached
+deployment would see. The C reference (one image per process) measures
+1.6 MPix/s end-to-end for -gray at 4K on this host (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from imageprocessingtools_tpu import serving
+from imageprocessingtools_tpu.codec import native, ppm
+from imageprocessingtools_tpu.pipeline import PipelineConfig
+
+CONFIGS = {
+    "gray": PipelineConfig(gray=True),
+    "mono": PipelineConfig(mono=True),
+    "gray_fh": PipelineConfig(gray=True, flip_h=True),
+}
+
+
+def _tunnel_bandwidth() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    x = np.random.default_rng(0).integers(0, 256, size=(2048, 8192), dtype=np.uint8)
+    d = jax.device_put(x[:64])  # warm
+    np.asarray(jnp.ravel(d)[:1])
+    t0 = time.perf_counter()
+    d = jax.device_put(x)
+    np.asarray(jnp.ravel(d)[:1])
+    up = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(d)
+    down = time.perf_counter() - t0
+    mb = x.nbytes / 1e6
+    return {"up_mb_s": round(mb / up, 1), "down_mb_s": round(mb / down, 1)}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=256)
+    ap.add_argument("--unique", type=int, default=32)
+    ap.add_argument("--dims", default="1080x1920")
+    ap.add_argument("--op", default="gray", choices=sorted(CONFIGS))
+    ap.add_argument("--max-batch", type=int, default=64)
+    ap.add_argument("--ab", action="store_true",
+                    help="also time overlap=False on n/4 images")
+    ap.add_argument("--workdir", default="/tmp/serving_bench")
+    args = ap.parse_args()
+
+    h, w = (int(t) for t in args.dims.split("x"))
+    os.makedirs(args.workdir, exist_ok=True)
+    rng = np.random.default_rng(0)
+    uniq = []
+    for i in range(args.unique):
+        p = os.path.join(args.workdir, f"img_{h}x{w}_{i:04d}.ppm")
+        if not os.path.exists(p):
+            with open(p, "wb") as f:
+                f.write(ppm.encode_ppm(
+                    rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)))
+        uniq.append(p)
+    paths = [uniq[i % len(uniq)] for i in range(args.n)]
+    config = CONFIGS[args.op]
+    mpix = args.n * h * w / 1e6
+
+    report = {
+        "n_images": args.n,
+        "unique_files": args.unique,
+        "dims": [h, w],
+        "op": args.op,
+        "max_batch": args.max_batch,
+        "tunnel": _tunnel_bandwidth(),
+    }
+
+    # Component rates (what a host-attached deployment is bounded by).
+    chunk = paths[: args.max_batch]
+    buffers = [open(p, "rb").read() for p in chunk]
+    t0 = time.perf_counter()
+    batch, _ = native.decode_batch(buffers)
+    t_dec = time.perf_counter() - t0
+    report["host_decode_mpix_s"] = round(len(chunk) * h * w / t_dec / 1e6, 1)
+    gray = batch.astype(np.uint16).sum(axis=3) // 3
+    gray = gray.astype(np.uint8)
+    t0 = time.perf_counter()
+    for j in range(len(chunk)):
+        ppm.write_ppm(os.path.join(args.workdir, "enc_probe.out"),
+                      gray[j], file_type=ppm.FILETYPE_PGM)
+    t_enc = time.perf_counter() - t0
+    report["host_encode_mpix_s"] = round(len(chunk) * h * w / t_enc / 1e6, 1)
+    del buffers, batch, gray
+
+    # Resident-device pipeline rate (loop harness, transfers excluded).
+    import jax
+
+    from imageprocessingtools_tpu.kernels.fused import fused_pipeline_xla
+    from imageprocessingtools_tpu.utils.timing import device_loop_rate
+
+    img4 = np.random.default_rng(1).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8)
+    sec = device_loop_rate(fused_pipeline_xla, img4, iters=10)
+    report["device_pipeline_mpix_s"] = round(h * w / sec / 1e6, 1)
+    report["production_bound_mpix_s"] = min(
+        report["host_decode_mpix_s"],
+        report["host_encode_mpix_s"],
+        report["device_pipeline_mpix_s"],
+    )
+
+    # Warm the jit cache so the measured run is steady-state serving.
+    serving.process_files(paths[: args.max_batch], config,
+                          max_batch=args.max_batch, suffix=".warm")
+
+    t0 = time.perf_counter()
+    outs = serving.process_files(paths, config, max_batch=args.max_batch)
+    wall = time.perf_counter() - t0
+    assert len(outs) == args.n
+
+    report.update({
+        "end_to_end_wall_s": round(wall, 2),
+        "end_to_end_mpix_s": round(mpix / wall, 1),
+        "images_per_s": round(args.n / wall, 2),
+        "c_reference_mpix_s": 1.6,  # BASELINE.md -gray 4K end-to-end
+        "vs_c_reference_end_to_end": round(mpix / wall / 1.6, 1),
+        "note": ("end-to-end is bounded by the ~10 MB/s TPU tunnel of this "
+                 "environment, not by the framework; see component rates"),
+    })
+
+    if args.ab:
+        n_ab = min(args.n, max(args.n // 4, 2 * args.max_batch))
+        t0 = time.perf_counter()
+        serving.process_files(paths[:n_ab], config,
+                              max_batch=args.max_batch, suffix=".seq",
+                              overlap=False)
+        seq = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        serving.process_files(paths[:n_ab], config,
+                              max_batch=args.max_batch, suffix=".ovl")
+        ovl = time.perf_counter() - t0
+        report["ab_n_images"] = n_ab
+        report["ab_sequential_wall_s"] = round(seq, 2)
+        report["ab_overlap_wall_s"] = round(ovl, 2)
+        report["ab_overlap_speedup"] = round(seq / ovl, 2)
+
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
