@@ -2,7 +2,13 @@
 
 Prints ONE JSON line:
   {"metric": "fused_4k_pipeline", "value": <MPix/s/chip>, "unit": "MPix/s",
-   "vs_baseline": <x over the C reference>}
+   "vs_baseline": <x over the 1 GPix/s/chip north-star target>}
+
+"vs_baseline" is value / 1000 MPix/s — the BASELINE.json north-star target
+for this exact pipeline. (A ratio over the C binary would be apples-to-
+oranges: its closest op, -gray at 4K, is 1.6 MPix/s but ~95% of that is its
+1-byte-per-fwrite encoder, and it has no conv/hist-eq at all. For same-work
+per-op ratios vs the C see ACCEPTANCE_TPU_r02.json / tools/profile_ops.py.)
 
 Methodology: the per-call dispatch path to the TPU goes through a remote
 tunnel with ~tens-of-ms RTT and a `block_until_ready` that does not actually
@@ -28,7 +34,7 @@ import time
 
 import numpy as np
 
-C_BASELINE_MPIX_S = 1.6  # -gray, 4K, gcc -O2 (BASELINE.md)
+NORTH_STAR_MPIX_S = 1000.0  # >= 1 GPix/s/chip fused-pipeline target
 H, W = 2160, 3840  # 4K
 
 
@@ -84,7 +90,7 @@ def main() -> None:
                 "metric": "fused_4k_pipeline",
                 "value": round(mpix_s, 1),
                 "unit": "MPix/s",
-                "vs_baseline": round(mpix_s / C_BASELINE_MPIX_S, 1),
+                "vs_baseline": round(mpix_s / NORTH_STAR_MPIX_S, 2),
             }
         )
     )

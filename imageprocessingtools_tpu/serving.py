@@ -70,6 +70,68 @@ def process_batch(images: np.ndarray, config: PipelineConfig, mesh=None):
     return out, config.file_type
 
 
+def process_file_spatial(
+    path: str,
+    config: PipelineConfig | str,
+    mesh=None,
+    suffix: str = ".out",
+) -> str:
+    """ONE giant image, H-sharded over the mesh (spatial parallelism).
+
+    The image analog of sequence/context parallelism: rows are split over
+    devices. ``config`` is either a PipelineConfig (reference ops — the
+    sharded jit lets GSPMD insert the collectives: flips become permutes,
+    the resize H-pass a sharded matmul) or the string ``"fused"`` for the
+    gray -> 5x5 Gaussian -> hist-eq extension pipeline, which uses the
+    explicit shard_map + ppermute halo-exchange path
+    (parallel/spatial.fused_pipeline_spatial). If H is not divisible by the
+    mesh size, the largest divisor-sized submesh is used (1 device worst
+    case). Writes ``<path><suffix>``; returns the output path.
+    """
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from imageprocessingtools_tpu.parallel.batch import default_mesh
+    from imageprocessingtools_tpu.parallel.spatial import fused_pipeline_spatial
+
+    if mesh is None:
+        mesh = default_mesh()
+    axis = next(iter(mesh.shape))
+    with open(path, "rb") as f:
+        img, maxval = ppm.decode_ppm(f.read())
+
+    n = mesh.shape[axis]
+    n_use = next(d for d in range(n, 0, -1)
+                 if img.shape[0] % d == 0 and img.shape[0] // d >= 2)
+    if n_use != n:
+        mesh = Mesh(np.asarray(mesh.devices).reshape(-1)[:n_use], (axis,))
+    sharding = NamedSharding(mesh, P(axis))
+    img_d = jax.device_put(img, sharding)
+
+    out_path = path + suffix
+    if config == "fused":
+        out = fused_pipeline_spatial(img_d, mesh, axis_name=axis)
+        ppm.write_ppm(out_path, np.asarray(out), file_type=ppm.FILETYPE_PGM,
+                      max_color=maxval)
+        return out_path
+
+    one = _pipeline_fn(config)
+    out = jax.jit(one, in_shardings=sharding)(img_d)
+    out_np = np.asarray(out)
+    if config.file_type == FILETYPE_PBM:
+        unpacked = jax.eval_shape(
+            lambda im: run_pipeline(im, config)[0],
+            jax.ShapeDtypeStruct(img.shape, np.uint8),
+        ).shape
+        header = (b"P4\n" + ppm.GENERATED_COMMENT
+                  + b"%d %d\n" % (unpacked[1], unpacked[0]))
+        with open(out_path, "wb") as f:
+            f.write(header + out_np.tobytes())
+    else:
+        ppm.write_ppm(out_path, out_np, file_type=config.file_type,
+                      max_color=maxval)
+    return out_path
+
+
 def _encode_chunk(idxs, out_np, file_type, unpacked, paths, metas, suffix,
                   out_paths) -> None:
     """Host-encode one processed chunk to ``<path><suffix>`` files."""
