@@ -66,12 +66,88 @@ def _apply_pass(img: jnp.ndarray, weight: jnp.ndarray, dim: int) -> jnp.ndarray:
     return out[:, :, 0] if squeeze else out
 
 
-def resize_width(img: jnp.ndarray, new_width: int) -> jnp.ndarray:
+# ---------------------------------------------------------------------------
+# Banded apply: exploit the weight matrices' band structure.
+#
+# Each W row has <= ceil(4/scale)+2 nonzero taps in a contiguous (mirror-
+# reflected at edges, still local) index range, so the dense [out, in]
+# matmul does mostly zero MACs — at 4K -> 1080p, 2160 columns vs a ~26-wide
+# band. Rows are grouped (static group size) and each group contracts only
+# its band: a Python loop over static slices at trace time, so XLA sees a
+# chain of small full-f32 matmuls instead of one big mostly-zero one.
+# f32 sums over the extra zeros are exact, so banded and dense agree except
+# for MXU accumulation-order ulps — both inside the documented +-1 budget.
+# ---------------------------------------------------------------------------
+
+_BAND_GROUP = 32  # output rows per block: band stays small, M-dim utilization ok
+
+
+@functools.lru_cache(maxsize=32)
+def _banded_blocks(height: int, width: int, new_width: int):
+    """Per-pass banded weight blocks: tuple of (dim, ((start, Wb), ...))."""
+    plan = _exact.plan_resize(height, width, new_width)
+    passes = []
+    for dim, contrib in plan.passes:
+        idx, wts = contrib.indices, contrib.weights
+        out_size, taps = idx.shape
+        blocks = []
+        for s in range(0, out_size, _BAND_GROUP):
+            e = min(s + _BAND_GROUP, out_size)
+            lo = int(idx[s:e].min())
+            hi = int(idx[s:e].max()) + 1
+            wb = np.zeros((e - s, hi - lo), dtype=np.float64)
+            rows = np.repeat(np.arange(e - s), taps)
+            np.add.at(wb, (rows, (idx[s:e] - lo).ravel()), wts[s:e].ravel())
+            blocks.append((lo, hi, wb.astype(np.float32)))
+        passes.append((dim, tuple(blocks)))
+    return plan.new_height, plan.new_width, tuple(passes)
+
+
+def _apply_pass_banded(img: jnp.ndarray, blocks, dim: int) -> jnp.ndarray:
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[:, :, None]
+    if dim == 1:
+        # Resize W as a row-banded pass on per-plane transposed data (HWC
+        # transposes are slow on TPU; per-plane 2D ones are cheap).
+        from imageprocessingtools_tpu.ops.geometry import _transpose_hw
+
+        out = _apply_pass_banded(_transpose_hw(img), blocks, 0)
+        out = _transpose_hw(out)
+        return out[:, :, 0] if squeeze else out
+    h, w, c = img.shape
+    flat = img.reshape(h, w * c).astype(jnp.float32)
+    parts = [
+        jax.lax.dot(
+            jnp.asarray(wb), flat[lo:hi],
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        for lo, hi, wb in blocks
+    ]
+    acc = jnp.concatenate(parts, axis=0).reshape(-1, w, c)
+    out = quantize_u8(acc)
+    return out[:, :, 0] if squeeze else out
+
+
+def resize_width(
+    img: jnp.ndarray, new_width: int, banded: bool | None = None
+) -> jnp.ndarray:
     """Resize to ``new_width``; height = trunc(H * new_width / W) (B6).
 
     Matches ``-wN``: MATLAB-imresize-compatible bicubic with antialiasing on
-    downscale and mirror boundaries.
+    downscale and mirror boundaries. ``banded`` selects the banded-matmul
+    apply (default: on for inputs >= 2^18 pixels, where the band structure
+    wins; dense for small ones, where one fused matmul is cheaper).
     """
+    if banded is None:
+        banded = img.shape[0] * img.shape[1] >= (1 << 18)
+    if banded:
+        _, _, passes = _banded_blocks(img.shape[0], img.shape[1], int(new_width))
+        out = img
+        for dim, blocks in passes:
+            out = _apply_pass_banded(out, blocks, dim)
+        return out
     _, _, mats = _resize_plan_arrays(img.shape[0], img.shape[1], int(new_width))
     out = img
     for dim, weight in mats:

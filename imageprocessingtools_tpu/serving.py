@@ -258,8 +258,17 @@ def process_files(
                 encode_q.put((idxs, np.asarray(out), file_type, unpacked))
                 if errors:
                     break
+        except BaseException as e:
+            errors.append(e)
         finally:
             encode_q.put(None)
+            # Drain so a reader blocked on a full queue can reach its
+            # sentinel and exit (otherwise join() deadlocks on early error).
+            while rt.is_alive():
+                try:
+                    decode_q.get_nowait()
+                except queue.Empty:
+                    rt.join(timeout=0.05)
             rt.join()
             wt.join()
         if errors:

@@ -154,3 +154,24 @@ def test_pipeline_conflicts():
         ipt.PipelineConfig(gray=True, mono=True)
     with pytest.raises(ValueError, match="Conflicting"):
         ipt.PipelineConfig(flip_v=True, flip_h=True)
+
+
+@pytest.mark.parametrize("shape,new_width", [
+    ((64, 96), 48), ((64, 96), 200), ((29, 7), 21), ((200, 130), 65),
+])
+def test_resize_banded_within_budget(shape, new_width):
+    """Banded-matmul apply (big-image path) stays within the +-1 budget and
+    agrees with the golden model, incl. upscale and mirror edges."""
+    from imageprocessingtools_tpu.ops.resize import resize_width
+
+    img = make_image(*shape, seed=6)
+    expected = golden.resize_width(img, new_width)
+    _assert_close_u8(resize_width(img, new_width, banded=True), expected, tol=1)
+
+
+def test_resize_banded_gray_2d():
+    from imageprocessingtools_tpu.ops.resize import resize_width
+
+    img = make_image(48, 64, seed=2)[:, :, 0]
+    expected = golden.resize_width(img, 40)
+    _assert_close_u8(resize_width(img, 40, banded=True), expected, tol=1)

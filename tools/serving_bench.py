@@ -98,19 +98,27 @@ def main() -> None:
     }
 
     # Component rates (what a host-attached deployment is bounded by).
+    # First-touch anon pages on this VM fault at ~20 MB/s (measured; lazily
+    # backed VM memory) while recycled arena pages run at DRAM speed, so
+    # components are measured on the SECOND call — the serving loop reuses
+    # freed arena pages after its first chunk, making that the steady state.
     chunk = paths[: args.max_batch]
     buffers = [open(p, "rb").read() for p in chunk]
-    t0 = time.perf_counter()
-    batch, _ = native.decode_batch(buffers)
-    t_dec = time.perf_counter() - t0
+    t_dec = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        batch, _ = native.decode_batch(buffers)
+        t_dec = time.perf_counter() - t0
     report["host_decode_mpix_s"] = round(len(chunk) * h * w / t_dec / 1e6, 1)
     gray = batch.astype(np.uint16).sum(axis=3) // 3
     gray = gray.astype(np.uint8)
-    t0 = time.perf_counter()
-    for j in range(len(chunk)):
-        ppm.write_ppm(os.path.join(args.workdir, "enc_probe.out"),
-                      gray[j], file_type=ppm.FILETYPE_PGM)
-    t_enc = time.perf_counter() - t0
+    t_enc = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for j in range(len(chunk)):
+            ppm.write_ppm(os.path.join(args.workdir, "enc_probe.out"),
+                          gray[j], file_type=ppm.FILETYPE_PGM)
+        t_enc = time.perf_counter() - t0
     report["host_encode_mpix_s"] = round(len(chunk) * h * w / t_enc / 1e6, 1)
     del buffers, batch, gray
 
