@@ -48,5 +48,22 @@ def fused_pipeline_pallas(img: jnp.ndarray) -> jnp.ndarray:
     return apply_lut(blurred, lut)
 
 
+def fused_pipeline_pallas_mega(img: jnp.ndarray) -> jnp.ndarray:
+    """Mega-kernel variant: gray + Gaussian + histogram in ONE Pallas pass
+    (planar loads, tile histogram accumulated across grid steps), then the
+    XLA nibble-MXU LUT apply. Saves the gray round trip and the separate
+    histogram read vs `fused_pipeline_pallas`. Bit-identical output.
+    """
+    from imageprocessingtools_tpu.kernels.pallas_core import gray_gauss_hist_pallas
+
+    blurred, hist = gray_gauss_hist_pallas(img)
+    n_pixels = 1
+    for d in blurred.shape:
+        n_pixels *= int(d)
+    lut = _equalize_lut(hist, n_pixels)
+    return apply_lut(blurred, lut)
+
+
 fused_gray_gauss_histeq = jax.jit(fused_pipeline_xla)
 fused_gray_gauss_histeq_pallas = jax.jit(fused_pipeline_pallas)
+fused_gray_gauss_histeq_pallas_mega = jax.jit(fused_pipeline_pallas_mega)

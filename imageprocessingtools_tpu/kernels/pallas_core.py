@@ -344,3 +344,109 @@ def lut_apply_pallas(values: jnp.ndarray, lut: jnp.ndarray, block_rows: int | No
         interpret=_interpret(),
     )(padded, lut128)
     return out[:h]
+
+
+# ---------------------------------------------------------------------------
+# Mega-kernel: gray + 5x5 Gaussian + histogram in ONE VMEM pass.
+#
+# Fuses the grayscale into the Gaussian's tile loads (planar RGB in, one
+# uint8 gray round trip saved) and accumulates the 256-bin histogram of the
+# blurred tile in the same grid step (nibble one-hot MXU contraction, the
+# _hist_kernel trick), so the blurred image is read back from HBM only once
+# more — by the LUT-apply stage. Bit-identical to fused_pipeline_xla.
+# ---------------------------------------------------------------------------
+
+
+def _mega_kernel(true_h, r_prev, g_prev, b_prev, r_cur, g_cur, b_cur,
+                 r_next, g_next, b_next, out_ref, hist_ref):
+    step = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+    tr, w = r_cur.shape
+
+    def gray_rows(refs, lo, hi):
+        r, g, b = refs
+        return (
+            r[lo:hi, :].astype(jnp.int32)
+            + g[lo:hi, :].astype(jnp.int32)
+            + b[lo:hi, :].astype(jnp.int32)
+        ) // 3
+
+    cur = gray_rows((r_cur, g_cur, b_cur), 0, tr)              # [TR, W]
+    prev_tail = gray_rows((r_prev, g_prev, b_prev), tr - 2, tr)
+    next_head = gray_rows((r_next, g_next, b_next), 0, 2)
+    edge_top = jnp.concatenate([cur[:1]] * 2, axis=0)
+    edge_bot = jnp.concatenate([cur[tr - 1 :]] * 2, axis=0)
+    top = jnp.where(step == 0, edge_top, prev_tail)
+    bot = jnp.where(step == n_steps - 1, edge_bot, next_head)
+    padded = jnp.concatenate([top, cur, bot], axis=0)          # [TR+4, W]
+
+    rows = None
+    for dy, k in enumerate(_GAUSS_TAPS):
+        term = k * padded[dy : dy + tr, :]
+        rows = term if rows is None else rows + term
+    rows = _col_edge_pad(rows, 2)
+    acc = None
+    for dx, k in enumerate(_GAUSS_TAPS):
+        term = k * rows[:, dx : dx + w]
+        acc = term if acc is None else acc + term
+    blurred = (acc + 128) >> 8                                  # int32 [TR, W]
+    out_ref[:] = blurred.astype(jnp.uint8)
+
+    # Histogram of this tile; rows past the true image height (edge-padding
+    # for the block grid) are masked out of the counts.
+    row_global = step * tr + lax.broadcasted_iota(jnp.int32, (tr, w), 0)
+    mask = (row_global < true_h).reshape(tr * w, 1).astype(jnp.bfloat16)
+    v = blurred.reshape(tr * w, 1)
+    iota = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    hi_oh = ((v >> 4) == iota).astype(jnp.bfloat16) * mask
+    lo_oh = ((v & 15) == iota).astype(jnp.bfloat16)
+    counts = lax.dot_general(
+        hi_oh, lo_oh, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(step == 0)
+    def _():
+        hist_ref[:] = counts
+
+    @pl.when(step != 0)
+    def _():
+        hist_ref[:] = hist_ref[:] + counts
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows",))
+def gray_gauss_hist_pallas(img: jnp.ndarray, block_rows: int | None = None):
+    """uint8[H, W, 3] -> (uint8[H, W] blurred-gray, int32[256] histogram).
+
+    One Pallas pass: grayscale fused into the 5x5 Gaussian's loads, tile
+    histogram accumulated across grid steps. H*W must be < 2^24 for exact
+    f32 bin counts (4K is 8.3M, fine).
+    """
+    h0, w = img.shape[0], img.shape[1]
+    if h0 * w >= 2**24:
+        raise ValueError("gray_gauss_hist_pallas requires H*W < 2^24")
+    br = _resolve_block_rows(h0, block_rows, radius=2, default=64)
+    planes = []
+    for c in range(3):
+        p, _ = _pad_rows_edge(img[:, :, c], br)
+        planes.append(p)
+    ph = planes[0].shape[0]
+    n = ph // br
+    halo = _halo_specs(br, w, n)
+    in_specs = [halo[0]] * 3 + [halo[1]] * 3 + [halo[2]] * 3
+    blurred, big = pl.pallas_call(
+        functools.partial(_mega_kernel, h0),
+        grid=(n,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((br, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((ph, w), jnp.uint8),
+            jax.ShapeDtypeStruct((128, 128), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(*(planes * 3))
+    hist = big[:16, :16].reshape(256).astype(jnp.int32)
+    return blurred[:h0], hist

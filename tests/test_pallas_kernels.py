@@ -85,3 +85,39 @@ def test_fused_pipeline_pallas_matches_xla():
     img = make_gradient(32, 128)
     out = np.asarray(fused_pipeline_pallas(img))
     np.testing.assert_array_equal(out, np.asarray(fused_pipeline_xla(img)))
+
+
+@pytest.mark.parametrize("shape", [(64, 128, 3), (130, 384, 3), (7, 128, 3)])
+def test_mega_kernel_bit_identical(shape):
+    """gray+gauss+hist mega-kernel pipeline == XLA flagship, bit for bit."""
+    from imageprocessingtools_tpu.kernels.fused import (
+        fused_pipeline_pallas_mega, fused_pipeline_xla)
+
+    rng = np.random.default_rng(shape[0])
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(fused_pipeline_pallas_mega(img)),
+        np.asarray(fused_pipeline_xla(img)),
+    )
+
+
+def test_mega_kernel_hist_matches_ops():
+    from imageprocessingtools_tpu.kernels.pallas_core import gray_gauss_hist_pallas
+    from imageprocessingtools_tpu.ops.color import grayscale
+    from imageprocessingtools_tpu.ops.histogram import histogram
+    from imageprocessingtools_tpu.ops.stencil import gaussian_blur
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, size=(50, 256, 3), dtype=np.uint8)
+    blurred, hist = gray_gauss_hist_pallas(img)
+    expected = gaussian_blur(grayscale(img))
+    np.testing.assert_array_equal(np.asarray(blurred), np.asarray(expected))
+    np.testing.assert_array_equal(np.asarray(hist), np.asarray(histogram(expected)))
+    assert int(np.asarray(hist).sum()) == 50 * 256
+
+
+def test_mega_kernel_size_guard():
+    from imageprocessingtools_tpu.kernels.pallas_core import gray_gauss_hist_pallas
+
+    with pytest.raises(ValueError, match="2\\^24"):
+        gray_gauss_hist_pallas(np.zeros((4100, 4100, 3), np.uint8))

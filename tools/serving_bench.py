@@ -104,22 +104,27 @@ def main() -> None:
     # freed arena pages after its first chunk, making that the steady state.
     chunk = paths[: args.max_batch]
     buffers = [open(p, "rb").read() for p in chunk]
-    t_dec = None
-    for _ in range(2):
+    t_dec = []
+    batch = None
+    for _ in range(3):
+        del batch  # free BEFORE the next alloc so the arena is reused
+        batch = None
         t0 = time.perf_counter()
         batch, _ = native.decode_batch(buffers)
-        t_dec = time.perf_counter() - t0
-    report["host_decode_mpix_s"] = round(len(chunk) * h * w / t_dec / 1e6, 1)
+        t_dec.append(time.perf_counter() - t0)
+    report["host_decode_mpix_s"] = round(
+        len(chunk) * h * w / min(t_dec) / 1e6, 1)
     gray = batch.astype(np.uint16).sum(axis=3) // 3
     gray = gray.astype(np.uint8)
-    t_enc = None
+    t_enc = []
     for _ in range(2):
         t0 = time.perf_counter()
         for j in range(len(chunk)):
             ppm.write_ppm(os.path.join(args.workdir, "enc_probe.out"),
                           gray[j], file_type=ppm.FILETYPE_PGM)
-        t_enc = time.perf_counter() - t0
-    report["host_encode_mpix_s"] = round(len(chunk) * h * w / t_enc / 1e6, 1)
+        t_enc.append(time.perf_counter() - t0)
+    report["host_encode_mpix_s"] = round(
+        len(chunk) * h * w / min(t_enc) / 1e6, 1)
     del buffers, batch, gray
 
     # Resident-device pipeline rate (loop harness, transfers excluded).
