@@ -42,15 +42,18 @@ def _apply_pass(img: jnp.ndarray, weight: jnp.ndarray, dim: int) -> jnp.ndarray:
     if squeeze:
         img = img[:, :, None]
     src = img.astype(jnp.float32)
-    # precision=HIGHEST: full-f32 MXU passes. The TPU default (bf16 inputs)
-    # would blow the +-1 LSB parity budget; HIGHEST stays exact to f32.
+    # precision=HIGH (3-pass bf16 ~ f32-grade): measured within the +-1
+    # budget across a 24-case on-TPU fuzz vs the f64 golden (worst diff 1)
+    # and ~10% faster than HIGHEST at 4K (6.56 vs 7.26 ms same-run). The
+    # plain TPU default (1-pass bf16) has a worst-case tap-rounding error of
+    # several LSB, so it stays off parity paths.
     if dim == 0:
         # out[o, w, c] = sum_h W[o, h] * img[h, w, c]
         acc = jnp.einsum(
             "oh,hwc->owc",
             weight,
             src,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGH,
             preferred_element_type=jnp.float32,
         )
     else:
@@ -59,7 +62,7 @@ def _apply_pass(img: jnp.ndarray, weight: jnp.ndarray, dim: int) -> jnp.ndarray:
             "ow,hwc->hoc",
             weight,
             src,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGH,
             preferred_element_type=jnp.float32,
         )
     out = quantize_u8(acc)
@@ -73,8 +76,12 @@ def _apply_pass(img: jnp.ndarray, weight: jnp.ndarray, dim: int) -> jnp.ndarray:
 # reflected at edges, still local) index range, so the dense [out, in]
 # matmul does mostly zero MACs — at 4K -> 1080p, 2160 columns vs a ~26-wide
 # band. Rows are grouped (static group size) and each group contracts only
-# its band: a Python loop over static slices at trace time, so XLA sees a
-# chain of small full-f32 matmuls instead of one big mostly-zero one.
+# its band. MEASURED on the chip (same-run A/B at 4K->1920): banded loses,
+# 10.7-11.1 ms vs 7.05 ms dense across G in {32, 64, 128, 256} and for a
+# banded-H/dense-W hybrid — the dense matmul is MXU-throughput-rich, not
+# bandwidth-bound, and the per-group concats/launches cost more than the
+# skipped zero MACs. Kept for reference and OFF by default; it only
+# approaches parity on big upscales (13.0 vs 14.0 ms at 4K->7680).
 # f32 sums over the extra zeros are exact, so banded and dense agree except
 # for MXU accumulation-order ulps — both inside the documented +-1 budget.
 # ---------------------------------------------------------------------------
@@ -136,12 +143,13 @@ def resize_width(
     """Resize to ``new_width``; height = trunc(H * new_width / W) (B6).
 
     Matches ``-wN``: MATLAB-imresize-compatible bicubic with antialiasing on
-    downscale and mirror boundaries. ``banded`` selects the banded-matmul
-    apply (default: on for inputs >= 2^18 pixels, where the band structure
-    wins; dense for small ones, where one fused matmul is cheaper).
+    downscale and mirror boundaries. ``banded=True`` selects the
+    banded-matmul apply — measured SLOWER than dense on the MXU (see module
+    comment), so it is off by default and exists as a documented
+    alternative.
     """
     if banded is None:
-        banded = img.shape[0] * img.shape[1] >= (1 << 18)
+        banded = False
     if banded:
         _, _, passes = _banded_blocks(img.shape[0], img.shape[1], int(new_width))
         out = img
