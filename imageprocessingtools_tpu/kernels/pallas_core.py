@@ -10,10 +10,13 @@ Design notes (see /opt/skills/guides/pallas_guide.md):
 - All arithmetic is the integer-exact spec from `ops/stencil.py`, so pallas
   and XLA paths are interchangeable bit-for-bit.
 - The histogram/LUT kernels use the same nibble-one-hot MXU contraction as
-  `ops/histogram.py`. Both the XLA and Pallas forms are MXU-bound at the
-  same ~M x 128 x 128 padded cost, so the XLA form is the default; the
-  kernels here exist for fusion with neighboring pallas stages and for
-  single-pass VMEM residency.
+  `ops/histogram.py`. CAVEAT (found in round 2): their [TR, W] -> [TR*W, 1]
+  reshape is rejected by the current Mosaic compiler on real TPUs
+  ("infer-vector-layout: unsupported shape cast"), so on hardware they
+  transparently fall back to the XLA ops (identical trick and results,
+  measured at parity); the in-kernel forms remain the reference and run
+  under interpret mode in CI. The stencil/elementwise/gray+gauss kernels
+  compile and run on hardware.
 - Kernels run in interpret mode off-TPU so the CPU suite covers them.
 """
 
@@ -284,7 +287,22 @@ def histogram_pallas(gray: jnp.ndarray, block_rows: int | None = None):
     The f32 accumulator loses integer exactness once one bin exceeds 2^24
     (e.g. a constant 4096x4096 image), so such inputs are rejected rather
     than silently wrong; ops.histogram chunks and stays exact at any size.
+
+    NOTE (measured on hardware, round 2): the [TR, W] -> [TR*W, 1] reshape
+    this formulation needs is rejected by the current Mosaic compiler
+    ("infer-vector-layout: unsupported shape cast"), so on a real TPU this
+    function falls back to the XLA nibble-MXU op (same trick, same exact
+    result, and measured at parity). The kernel remains the reference
+    in-VMEM formulation and runs under interpret mode in CI.
     """
+    if not _interpret():
+        from imageprocessingtools_tpu.ops.histogram import histogram as _xla_hist
+
+        if gray.shape[0] * gray.shape[1] >= 2**24:
+            raise ValueError(
+                "histogram_pallas requires H*W < 2^24; use ops.histogram"
+            )
+        return _xla_hist(gray)
     if gray.shape[0] * gray.shape[1] >= 2**24:
         raise ValueError(
             f"histogram_pallas requires H*W < 2^24 for exact f32 bin counts; "
@@ -325,7 +343,15 @@ def _lut_kernel(v_ref, lut_ref, out_ref):
 
 @functools.partial(jax.jit, static_argnames=("block_rows",))
 def lut_apply_pallas(values: jnp.ndarray, lut: jnp.ndarray, block_rows: int | None = None):
-    """uint8[H, W] through an integer [256] LUT; exact, gather-free."""
+    """uint8[H, W] through an integer [256] LUT; exact, gather-free.
+
+    Same Mosaic reshape limitation as histogram_pallas: on a real TPU this
+    falls back to the XLA nibble-MXU ops.apply_lut (identical trick/result).
+    """
+    if not _interpret():
+        from imageprocessingtools_tpu.ops.histogram import apply_lut as _xla_lut
+
+        return _xla_lut(values, lut)
     br = _resolve_block_rows(values.shape[0], block_rows, radius=1, default=64)
     padded, h = _pad_rows_edge(values, br)
     ph, w = padded.shape
@@ -347,18 +373,24 @@ def lut_apply_pallas(values: jnp.ndarray, lut: jnp.ndarray, block_rows: int | No
 
 
 # ---------------------------------------------------------------------------
-# Mega-kernel: gray + 5x5 Gaussian + histogram in ONE VMEM pass.
+# Mega-kernel: gray + 5x5 Gaussian in ONE VMEM pass.
 #
-# Fuses the grayscale into the Gaussian's tile loads (planar RGB in, one
-# uint8 gray round trip saved) and accumulates the 256-bin histogram of the
-# blurred tile in the same grid step (nibble one-hot MXU contraction, the
-# _hist_kernel trick), so the blurred image is read back from HBM only once
-# more — by the LUT-apply stage. Bit-identical to fused_pipeline_xla.
+# Fuses the grayscale into the Gaussian's tile loads (planar RGB in), so the
+# intermediate gray image never round-trips HBM. The histogram stage stays
+# in XLA: its in-kernel MXU form needs a [TR, W] -> [TR*W, 1] reshape that
+# the current Mosaic compiler rejects ("infer-vector-layout: unsupported
+# shape cast" — see histogram_pallas), and a VPU-only in-kernel histogram
+# (256 masked reductions/tile) costs more than the 8 MB HBM read it saves.
+# Bit-identical to grayscale -> ops.stencil.gaussian_blur (verified on
+# hardware at 4K). Same-run A/B on the chip: full pipeline 8.92 ms (mega)
+# vs 8.77 ms (XLA), stage 7.76 vs 7.66 ms — XLA already fuses the
+# elementwise gray into its Gaussian, so the pipeline ships the XLA form
+# and this kernel stands as the measured-at-parity Pallas alternative.
 # ---------------------------------------------------------------------------
 
 
-def _mega_kernel(true_h, r_prev, g_prev, b_prev, r_cur, g_cur, b_cur,
-                 r_next, g_next, b_next, out_ref, hist_ref):
+def _gray_gauss_kernel(r_prev, g_prev, b_prev, r_cur, g_cur, b_cur,
+                       r_next, g_next, b_next, out_ref):
     step = pl.program_id(0)
     n_steps = pl.num_programs(0)
     tr, w = r_cur.shape
@@ -389,42 +421,17 @@ def _mega_kernel(true_h, r_prev, g_prev, b_prev, r_cur, g_cur, b_cur,
     for dx, k in enumerate(_GAUSS_TAPS):
         term = k * rows[:, dx : dx + w]
         acc = term if acc is None else acc + term
-    blurred = (acc + 128) >> 8                                  # int32 [TR, W]
-    out_ref[:] = blurred.astype(jnp.uint8)
-
-    # Histogram of this tile; rows past the true image height (edge-padding
-    # for the block grid) are masked out of the counts.
-    row_global = step * tr + lax.broadcasted_iota(jnp.int32, (tr, w), 0)
-    mask = (row_global < true_h).reshape(tr * w, 1).astype(jnp.bfloat16)
-    v = blurred.reshape(tr * w, 1)
-    iota = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    hi_oh = ((v >> 4) == iota).astype(jnp.bfloat16) * mask
-    lo_oh = ((v & 15) == iota).astype(jnp.bfloat16)
-    counts = lax.dot_general(
-        hi_oh, lo_oh, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-    @pl.when(step == 0)
-    def _():
-        hist_ref[:] = counts
-
-    @pl.when(step != 0)
-    def _():
-        hist_ref[:] = hist_ref[:] + counts
+    out_ref[:] = ((acc + 128) >> 8).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("block_rows",))
-def gray_gauss_hist_pallas(img: jnp.ndarray, block_rows: int | None = None):
-    """uint8[H, W, 3] -> (uint8[H, W] blurred-gray, int32[256] histogram).
+def gray_gauss_pallas(img: jnp.ndarray, block_rows: int | None = None):
+    """uint8[H, W, 3] -> uint8[H, W]: grayscale fused into the 5x5 Gaussian.
 
-    One Pallas pass: grayscale fused into the 5x5 Gaussian's loads, tile
-    histogram accumulated across grid steps. H*W must be < 2^24 for exact
-    f32 bin counts (4K is 8.3M, fine).
+    Bit-identical to ``gaussian_blur(grayscale(img))``; the gray image never
+    touches HBM.
     """
     h0, w = img.shape[0], img.shape[1]
-    if h0 * w >= 2**24:
-        raise ValueError("gray_gauss_hist_pallas requires H*W < 2^24")
     br = _resolve_block_rows(h0, block_rows, radius=2, default=64)
     planes = []
     for c in range(3):
@@ -434,19 +441,24 @@ def gray_gauss_hist_pallas(img: jnp.ndarray, block_rows: int | None = None):
     n = ph // br
     halo = _halo_specs(br, w, n)
     in_specs = [halo[0]] * 3 + [halo[1]] * 3 + [halo[2]] * 3
-    blurred, big = pl.pallas_call(
-        functools.partial(_mega_kernel, h0),
+    blurred = pl.pallas_call(
+        _gray_gauss_kernel,
         grid=(n,),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((br, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((ph, w), jnp.uint8),
-            jax.ShapeDtypeStruct((128, 128), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((br, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ph, w), jnp.uint8),
         interpret=_interpret(),
     )(*(planes * 3))
-    hist = big[:16, :16].reshape(256).astype(jnp.int32)
-    return blurred[:h0], hist
+    return blurred[:h0]
+
+
+def gray_gauss_hist_pallas(img: jnp.ndarray, block_rows: int | None = None):
+    """(blurred-gray, histogram) — gray+gauss in one Pallas pass, histogram
+    via the XLA nibble-MXU op (in-kernel form is Mosaic-rejected, see module
+    comment). H*W < 2^24 required for the downstream equalize exactness."""
+    if img.shape[0] * img.shape[1] >= 2**24:
+        raise ValueError("gray_gauss_hist_pallas requires H*W < 2^24")
+    from imageprocessingtools_tpu.ops.histogram import histogram as _xla_hist
+
+    blurred = gray_gauss_pallas(img, block_rows=block_rows)
+    return blurred, _xla_hist(blurred)
