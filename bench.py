@@ -77,10 +77,11 @@ def main() -> None:
     _timed(img, 0)
     base = min(_timed(img, 0) for _ in range(5))
     totals = []
-    for rep in range(8):
+    reps = 12  # span ~2 min: one contended window must not cover every rep
+    for rep in range(reps):
         totals.append(_timed(img, n))
-        if rep < 7:
-            time.sleep(6)
+        if rep < reps - 1:
+            time.sleep(10)
     per_iter = max((min(totals) - base) / n, 1e-9)
 
     mpix_s = (H * W) / per_iter / 1e6
