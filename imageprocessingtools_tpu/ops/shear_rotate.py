@@ -1,10 +1,11 @@
 """rotate_fast: TPU-native 3-shear rotation (extension op, non-parity).
 
 The reference's arbitrary rotation is a per-destination-pixel 2-D bicubic
-gather (``ppmx-edward.c:729-785``); `ops.geometry.rotate` reproduces it
-exactly but is XLA-gather-bound (~3 s at 4K on one chip). This op trades
-exact parity for TPU-native structure via the Paeth shear factorization of
-the same inverse affine map:
+gather (``ppmx-edward.c:729-785``). This op predates the blocked MXU form
+of `ops.geometry.rotate` (round 2, ~67 ms at 4K — now FASTER than this op's
+~0.66 s while keeping exact parity); it remains as the separable-resampling
+alternative and API-compat extension. It factorizes the same inverse affine
+map via Paeth shears:
 
     R = Sx(t) . Sy(-s) . Sx(t),   t = tan(theta/2), s = sin(theta)
 
@@ -21,8 +22,7 @@ RESAMPLING differs (three separable Keys-cubic passes with black fill
 instead of one 2-D bicubic with a nearest edge band). Each stage is a
 contiguous `dynamic_slice` per line (cheap on TPU — no per-element gathers)
 plus four VPU multiply-adds with per-line scalar cubic weights; the vertical
-stage rides transposes. ~2 orders of magnitude faster than the exact op at
-4K. Orthogonal parts (0/90/180/270) are taken exactly by permutation; the
+stage rides transposes. Orthogonal parts (0/90/180/270) are taken exactly by permutation; the
 residual angle is in (-45, 45] so canvas growth stays bounded
 (|t| <= tan 22.5 deg).
 
