@@ -10,17 +10,23 @@ import subprocess
 
 # jax may already be imported (and a TPU backend registered) by the
 # environment's sitecustomize with JAX_PLATFORMS=axon; hard-override the
-# platform before any backend is instantiated.
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# platform before any backend is instantiated. Set IPT_TEST_TPU=1 to run
+# the suite on the real device instead (e.g. an on-hardware parity pass of
+# tests/test_device_ops.py; sharding suites need the 8 virtual devices and
+# will skip/fail there).
+_USE_TPU = os.environ.get("IPT_TEST_TPU") == "1"
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
