@@ -1,0 +1,109 @@
+"""Batch serving CLI: the reference's flag surface over MANY files.
+
+    python -m imageprocessingtools_tpu.serve [ops] [serve options] FILE...
+
+Op flags are the reference's (``-fv -fh -wN -rN -gray -mono``, fixed
+pipeline order, ``<input>.out`` naming); the reference itself is strictly
+one image per process (``ppmx-edward.c:1053-1172``) — this entry point runs
+the same pipeline over a whole file set through `serving.process_files`
+(shape bucketing, native parallel decode, pipelined decode/device/encode
+overlap, optional device-mesh sharding).
+
+Serve options (extensions, hence the ``--`` prefix space):
+    --spatial       process each file as ONE giant image H-sharded over the
+                    local devices (spatial parallelism) instead of batching
+    --max-batch N   images per device dispatch (default 256)
+    --sequential    disable the reader/writer overlap threads
+    --mesh          shard batches over all local devices (data parallel)
+Exit codes/messages follow the single-image CLI: errors print to stdout,
+exit 255 (quirk B3); success prints one summary line to stderr and exits 0.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from imageprocessingtools_tpu.codec.ppm import PPMError
+from imageprocessingtools_tpu.cli import _CliError, _parse_args
+from imageprocessingtools_tpu.utils import log
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    serve_opts = {"spatial": False, "max_batch": 256, "overlap": True,
+                  "mesh": False}
+    op_args: list[str] = []
+    files: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--spatial":
+            serve_opts["spatial"] = True
+        elif a == "--sequential":
+            serve_opts["overlap"] = False
+        elif a == "--mesh":
+            serve_opts["mesh"] = True
+        elif a == "--max-batch":
+            i += 1
+            if i >= len(argv) or not argv[i].isdigit():
+                sys.stdout.write("Error: --max-batch needs an integer\n")
+                return 255
+            serve_opts["max_batch"] = int(argv[i])
+        elif a.startswith("--"):
+            sys.stdout.write(f"Error: unknown option {a}\n")
+            return 255
+        elif a.startswith("-"):
+            op_args.append(a)
+        else:
+            files.append(a)
+        i += 1
+
+    if not files:
+        sys.stdout.write("Error: no input files\n")
+        return 255
+    try:
+        # Validate the op flags with the reference parser (it needs exactly
+        # one filename, so feed it the first file).
+        config, _ = _parse_args(op_args + [files[0]])
+    except _CliError as e:
+        sys.stdout.write(e.message)
+        return 255
+
+    from imageprocessingtools_tpu import serving
+
+    mesh = None
+    if serve_opts["mesh"] or serve_opts["spatial"]:
+        from imageprocessingtools_tpu.parallel.batch import default_mesh
+
+        mesh = default_mesh()
+
+    t0 = time.perf_counter()
+    try:
+        if serve_opts["spatial"]:
+            outs = [
+                serving.process_file_spatial(p, config, mesh=mesh)
+                for p in files
+            ]
+        else:
+            outs = serving.process_files(
+                files, config, mesh=mesh,
+                max_batch=serve_opts["max_batch"],
+                overlap=serve_opts["overlap"],
+            )
+    except (PPMError, ValueError) as e:
+        message = e.message if isinstance(e, PPMError) else str(e)
+        sys.stdout.write(message)
+        log.emit("serve_error", n_files=len(files), message=message.strip())
+        return 255
+    wall = time.perf_counter() - t0
+    log.emit("serve_ok", n_files=len(outs), wall_s=round(wall, 3))
+    sys.stderr.write(
+        f"{len(outs)} files processed in {wall:.2f}s "
+        f"({len(outs) / max(wall, 1e-9):.1f} files/s)\n"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
