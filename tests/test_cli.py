@@ -154,3 +154,25 @@ def test_bad_magic_flow(ref_runner, tmp_path, capsys):
     ref_code, ref_stdout, _ = ref_runner.run(data, ["-gray"])
     our_code, our_stdout, _ = run_ours(tmp_path, data, ["-gray"], capsys)
     assert (our_code, our_stdout) == (ref_code, ref_stdout)
+
+
+def test_r0_is_copy(ref_runner, tmp_path):
+    """-r0 is valid (B6 range 0..359) and writes an unmodified P6 copy;
+    byte-identical to the reference binary."""
+    import os
+    import subprocess
+    import sys
+
+    from imageprocessingtools_tpu.codec import ppm
+    from tests.conftest import make_image
+
+    img = make_image(9, 11, seed=3)
+    code, _, ref_out = ref_runner.run(ppm.encode_ppm(img), ["-r0"])
+    assert code == 0
+    p = os.path.join(str(tmp_path), "r0.ppm")
+    ppm.write_ppm(p, img)
+    from imageprocessingtools_tpu import cli
+
+    assert cli.main(["-r0", p]) == 0
+    with open(p + ".out", "rb") as f:
+        assert f.read() == ref_out

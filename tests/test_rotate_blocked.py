@@ -125,3 +125,15 @@ def test_half_ulp_boundary_family_gather_path(shape):
     diff = np.abs(out.astype(np.int64) - exp.astype(np.int64))
     np.testing.assert_array_equal(diff[~rp.interior], 0)
     assert diff.max() <= 1
+
+
+@pytest.mark.parametrize("shape", [(1, 5), (2, 8), (3, 3), (8, 2)])
+@pytest.mark.parametrize("angle", [30, 300])
+def test_device_rotate_tiny_dims(shape, angle):
+    """H or W < 4 on the DEVICE path (no interior zone; gathers clamp):
+    exact vs golden (which is differential-verified against the C)."""
+    rng = np.random.default_rng(shape[0] * 10 + shape[1])
+    img = rng.integers(0, 256, size=shape + (3,), dtype=np.uint8)
+    out = np.asarray(geometry.rotate(img, angle))
+    exp = golden.rotate(img, angle)
+    np.testing.assert_array_equal(out, exp)
