@@ -275,6 +275,12 @@ def _rotate_apply(img, ax, bx, ay, by, xc, yc, *, new_h: int, new_w: int):
 # height against per-tile fixed cost.
 _BLOCK_G = 16   # output tile rows
 _BLOCK_L = 128  # output tile cols (lane count)
+# HIGH (3-pass bf16 ~ f32-grade): 58.1 ms vs 66.7 HIGHEST / 53.0 DEFAULT at
+# 4K/30deg same-run; a 12-case on-TPU fuzz vs the f64 golden stays at
+# maxdiff 1 with exact zones. DEFAULT's worst case (~1.5 LSB: 255 * sum|w|
+# * 2^-8 with exact-in-bf16 taps) could breach the documented +-1, so it
+# stays off the parity path.
+_ROTATE_DOT_PRECISION = jax.lax.Precision.HIGH
 
 
 @functools.lru_cache(maxsize=32)
@@ -412,7 +418,7 @@ def _rotate_apply_blocked(
         ).astype(jnp.float32)
         h1 = jax.lax.dot_general(                          # [C, BH, P] on MXU
             blk, w_x, (((2,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_ROTATE_DOT_PRECISION,
             preferred_element_type=jnp.float32,
         )
         acc = (h1 * w_y[None, :, :]).sum(axis=1)           # [C, P]
