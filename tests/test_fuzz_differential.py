@@ -86,3 +86,52 @@ def test_fuzz_vs_reference(ref_runner, tmp_path, capsys, case):
         a = np.frombuffer(pay_r, np.uint8).astype(np.int16)
         b = np.frombuffer(pay_o, np.uint8).astype(np.int16)
         assert a.shape == b.shape and np.abs(a - b).max() <= 1, (args, h, w)
+
+
+@pytest.mark.parametrize("case", range(12))
+def test_fuzz_vs_reference_midsize(ref_runner, tmp_path, capsys, case):
+    """Same differential at 120-320 px: these sizes route rotation through
+    the blocked MXU path (and resize through full-size weight matrices),
+    unlike the small-shape fuzz above which exercises the fallbacks."""
+    rng = np.random.default_rng(7000 + case)
+    h = int(rng.integers(120, 320))
+    w = int(rng.integers(120, 320))
+    img = make_image(h, w, seed=900 + case)
+    args = []
+    if rng.random() < 0.5:
+        args.append(f"-w{int(rng.integers(60, 400))}")
+    args.append(f"-r{int(rng.integers(1, 360))}")  # always rotate (the point)
+    color = rng.integers(0, 3)
+    if color == 1:
+        args.append("-gray")
+    elif color == 2:
+        args.append("-mono")
+    if rng.integers(0, 2):
+        args.append("-fv" if rng.integers(0, 2) else "-fh")
+    rng.shuffle(args)
+    data = ppm.encode_ppm(img)
+    ref_code, ref_stdout, ref_out = ref_runner.run(data, args)
+
+    import os
+
+    in_path = os.path.join(str(tmp_path), "m.ppm")
+    with open(in_path, "wb") as f:
+        f.write(data)
+    our_code = cli.main(args + [in_path])
+    our_stdout = capsys.readouterr().out
+    our_out = None
+    if os.path.exists(in_path + ".out"):
+        with open(in_path + ".out", "rb") as f:
+            our_out = f.read()
+    assert our_code == ref_code and our_stdout == ref_stdout, (args, h, w)
+    if ref_code != 0:
+        return
+    if not _has_float_op(args):
+        assert our_out == ref_out, (args, h, w)
+    elif ref_out[:2] != b"P4":
+        head_r, pay_r = ref_out.split(b"\n", 3)[:3], ref_out.split(b"\n", 3)[3]
+        head_o, pay_o = our_out.split(b"\n", 3)[:3], our_out.split(b"\n", 3)[3]
+        assert head_r == head_o, (args, h, w)
+        a = np.frombuffer(pay_r, np.uint8).astype(np.int16)
+        b = np.frombuffer(pay_o, np.uint8).astype(np.int16)
+        assert a.shape == b.shape and np.abs(a - b).max() <= 1, (args, h, w)
