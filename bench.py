@@ -92,6 +92,10 @@ def main() -> None:
                 "value": round(mpix_s, 1),
                 "unit": "MPix/s",
                 "vs_baseline": round(mpix_s / NORTH_STAR_MPIX_S, 2),
+                # names the vs_baseline denominator: round 1 divided by the
+                # C binary's -gray rate (1.6 MPix/s, ~95% fwrite time); this
+                # is the ratio over the BASELINE.json 1 GPix/s target.
+                "baseline": "north_star_1000_mpix_s",
             }
         )
     )

@@ -46,8 +46,8 @@ def main(argv: list[str] | None = None) -> int:
             serve_opts["mesh"] = True
         elif a == "--max-batch":
             i += 1
-            if i >= len(argv) or not argv[i].isdigit():
-                sys.stdout.write("Error: --max-batch needs an integer\n")
+            if i >= len(argv) or not argv[i].isdigit() or int(argv[i]) < 1:
+                sys.stdout.write("Error: --max-batch needs a positive integer\n")
                 return 255
             serve_opts["max_batch"] = int(argv[i])
         elif a.startswith("--"):
@@ -91,8 +91,14 @@ def main(argv: list[str] | None = None) -> int:
                 max_batch=serve_opts["max_batch"],
                 overlap=serve_opts["overlap"],
             )
-    except (PPMError, ValueError) as e:
-        message = e.message if isinstance(e, PPMError) else str(e)
+    except (PPMError, ValueError, OSError) as e:
+        if isinstance(e, PPMError):
+            message = e.message
+        elif isinstance(e, OSError):
+            # Match the single-image CLI's open-failure message (quirk B3).
+            message = "error. can not open file\n"
+        else:
+            message = str(e)
         sys.stdout.write(message)
         log.emit("serve_error", n_files=len(files), message=message.strip())
         return 255

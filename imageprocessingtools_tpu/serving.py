@@ -100,8 +100,8 @@ def process_file_spatial(
         img, maxval = ppm.decode_ppm(f.read())
 
     n = mesh.shape[axis]
-    n_use = next(d for d in range(n, 0, -1)
-                 if img.shape[0] % d == 0 and img.shape[0] // d >= 2)
+    n_use = next((d for d in range(n, 0, -1)
+                  if img.shape[0] % d == 0 and img.shape[0] // d >= 2), 1)
     if n_use != n:
         mesh = Mesh(np.asarray(mesh.devices).reshape(-1)[:n_use], (axis,))
     sharding = NamedSharding(mesh, P(axis))
@@ -109,7 +109,14 @@ def process_file_spatial(
 
     out_path = path + suffix
     if config == "fused":
-        out = fused_pipeline_spatial(img_d, mesh, axis_name=axis)
+        if n_use == 1:
+            # Degenerate shard (e.g. a 1-row image): the halo-exchange path
+            # needs >= 2 rows/shard; the single-device pipeline is identical.
+            from imageprocessingtools_tpu.kernels.fused import fused_pipeline_xla
+
+            out = fused_pipeline_xla(img_d)
+        else:
+            out = fused_pipeline_spatial(img_d, mesh, axis_name=axis)
         ppm.write_ppm(out_path, np.asarray(out), file_type=ppm.FILETYPE_PGM,
                       max_color=maxval)
         return out_path
@@ -122,14 +129,19 @@ def process_file_spatial(
             lambda im: run_pipeline(im, config)[0],
             jax.ShapeDtypeStruct(img.shape, np.uint8),
         ).shape
-        header = (b"P4\n" + ppm.GENERATED_COMMENT
-                  + b"%d %d\n" % (unpacked[1], unpacked[0]))
-        with open(out_path, "wb") as f:
-            f.write(header + out_np.tobytes())
+        _write_p4(out_path, out_np, unpacked[0], unpacked[1])
     else:
         ppm.write_ppm(out_path, out_np, file_type=config.file_type,
                       max_color=maxval)
     return out_path
+
+
+def _write_p4(out_path: str, packed_rows: np.ndarray, height: int,
+              width: int) -> None:
+    """Write a P4 whose payload rows are already device-packed bytes."""
+    header = b"P4\n" + ppm.GENERATED_COMMENT + b"%d %d\n" % (width, height)
+    with open(out_path, "wb") as f:
+        f.write(header + packed_rows.tobytes())
 
 
 def _encode_chunk(idxs, out_np, file_type, unpacked, paths, metas, suffix,
@@ -138,13 +150,7 @@ def _encode_chunk(idxs, out_np, file_type, unpacked, paths, metas, suffix,
     for j, i in enumerate(idxs):
         out_path = paths[i] + suffix
         if file_type == FILETYPE_PBM:
-            # out_np rows are already packed bytes from the device.
-            height, width = unpacked[0], unpacked[1]
-            header = (
-                b"P4\n" + ppm.GENERATED_COMMENT + b"%d %d\n" % (width, height)
-            )
-            with open(out_path, "wb") as f:
-                f.write(header + out_np[j].tobytes())
+            _write_p4(out_path, out_np[j], unpacked[0], unpacked[1])
         else:
             ppm.write_ppm(
                 out_path,
@@ -245,6 +251,19 @@ def process_files(
         wt = threading.Thread(target=writer, daemon=True)
         rt.start()
         wt.start()
+
+        def put_to_writer(item) -> bool:
+            # Bounded put that cannot deadlock on a dead writer: if the
+            # writer raised (e.g. disk full in _encode_chunk), its queue
+            # stops draining and a plain put() would block forever.
+            while wt.is_alive() and not errors:
+                try:
+                    encode_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         try:
             while True:
                 item = decode_q.get()
@@ -255,13 +274,24 @@ def process_files(
                 # np.asarray is the dependent transfer that observes device
                 # completion (block_until_ready is a no-op through the
                 # tunnel); the reader keeps decoding meanwhile.
-                encode_q.put((idxs, np.asarray(out), file_type, unpacked))
-                if errors:
+                if not put_to_writer((idxs, np.asarray(out), file_type, unpacked)):
                     break
         except BaseException as e:
             errors.append(e)
         finally:
-            encode_q.put(None)
+            # Deliver the writer sentinel. Happy path: the writer is
+            # draining, so the timed put succeeds. Error path: drop queued
+            # chunks to make room (we are about to raise anyway).
+            while wt.is_alive():
+                try:
+                    encode_q.put(None, timeout=0.1)
+                    break
+                except queue.Full:
+                    if errors:
+                        try:
+                            encode_q.get_nowait()
+                        except queue.Empty:
+                            pass
             # Drain so a reader blocked on a full queue can reach its
             # sentinel and exit (otherwise join() deadlocks on early error).
             while rt.is_alive():
