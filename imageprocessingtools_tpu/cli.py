@@ -9,7 +9,18 @@ and unsafe inputs are rejected instead of invoking UB (B4).
 
 from __future__ import annotations
 
+import os
 import sys
+
+if os.environ.get("IPT_PLATFORM"):
+    # Pin the JAX platform (e.g. IPT_PLATFORM=cpu for byte-exact float ops;
+    # the device paths carry a +-1 LSB budget). The container's sitecustomize
+    # pre-imports jax, so the env var alone is ignored — the in-process
+    # config update below is what actually takes effect (see CLAUDE.md).
+    import jax
+
+    os.environ["JAX_PLATFORMS"] = os.environ["IPT_PLATFORM"]
+    jax.config.update("jax_platforms", os.environ["IPT_PLATFORM"])
 
 import numpy as np
 

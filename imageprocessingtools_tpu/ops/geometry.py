@@ -269,6 +269,53 @@ def _rotate_apply(img, ax, bx, ay, by, xc, yc, *, new_h: int, new_w: int):
 # outside -> black, edge -> nearest, interior -> bicubic (+-1 LSB budget).
 # ---------------------------------------------------------------------------
 
+def _zone_taps(ax_pair, bx_pair, ay_pair, by_pair, xc, yc, width, height):
+    """Shared zone/tap decision core of the blocked paths (XLA and Pallas).
+
+    Combines the split-f64 geometry terms in double-f32, makes the C's zone
+    decisions (``ppmx-edward.c:744-783``), and returns
+    ``(base_x, base_y, wxs[4], wys[4])`` where the per-tap weights already
+    fold the zone masks: interior -> cubic, edge band -> one-hot on the
+    nearest tap (always inside the 4x4 window), outside -> all-zero (black).
+    Shape-agnostic: callers pass broadcastable hi/lo pairs.
+    """
+    nx_hi, nx_lo = _combine_df32(*ax_pair, *bx_pair, xc)
+    ny_hi, ny_lo = _combine_df32(*ay_pair, *by_pair, yc)
+    rX = _floor_df32(nx_hi, nx_lo, 0.5)
+    rY = _floor_df32(ny_hi, ny_lo, 0.5)
+    in_bounds = (rX < width) & (rY < height) & (rY >= 0) & (rX >= 0)
+    interior = (
+        in_bounds
+        & (rX > 1) & (rY > 1)
+        & (rX < max(width - 2, 0)) & (rY < max(height - 2, 0))
+    )
+    edge = in_bounds & ~interior
+    fbase_x = _floor_df32(nx_hi, nx_lo) - 1.0
+    fbase_y = _floor_df32(ny_hi, ny_lo) - 1.0
+    base_x = jnp.clip(fbase_x, 0, max(width - 4, 0)).astype(jnp.int32)
+    base_y = jnp.clip(fbase_y, 0, max(height - 4, 0)).astype(jnp.int32)
+    # In-bounds pixels have nearest == round(n) in [0, dim); it always
+    # falls inside the 4x4 tap window (offset 1 or 2 unclipped, 0..3 at
+    # the clip boundaries), so edge pixels ride the same matmul with
+    # one-hot weights instead of cubic ones.
+    nearest_x = jnp.clip(rX, 0, width - 1).astype(jnp.int32)
+    nearest_y = jnp.clip(rY, 0, height - 1).astype(jnp.int32)
+    offx = nearest_x - base_x
+    offy = nearest_y - base_y
+
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+    wxs, wys = [], []
+    for t in range(4):
+        cub_x = _cubic_f32((nx_hi - (fbase_x + t)) + nx_lo)
+        cub_y = _cubic_f32((ny_hi - (fbase_y + t)) + ny_lo)
+        wxs.append(jnp.where(
+            interior, cub_x, jnp.where(edge & (offx == t), one, zero)))
+        wys.append(jnp.where(
+            interior, cub_y, jnp.where(edge & (offy == t), one, zero)))
+    return base_x, base_y, wxs, wys
+
+
 # Tile shape: probed on hardware at 4K/30deg (same-run): (G, L) = (16, 128)
 # 66.9 ms vs 75.2 at (8, 128), 86.8 at (8, 64), 116.8 at (8, 256), 84.1 at
 # (32, 128), 104.7 at (64, 128). L = lane count; G trades source-block
@@ -362,45 +409,15 @@ def _rotate_apply_blocked(
 
     def chunk(axh_k, axl_k, ayh_k, ayl_k, syk, sxk, bxg, bxgl, byg, bygl):
         # Identical double-f32 geometry to _rotate_apply, on one tile.
-        nx_hi, nx_lo = _combine_df32(
-            axh_k[None, :], axl_k[None, :], bxg[:, None], bxgl[:, None], xc
+        base_x, base_y, wxs, wys = _zone_taps(
+            (axh_k[None, :], axl_k[None, :]),
+            (bxg[:, None], bxgl[:, None]),
+            (ayh_k[None, :], ayl_k[None, :]),
+            (byg[:, None], bygl[:, None]),
+            xc, yc, width, height,
         )
-        ny_hi, ny_lo = _combine_df32(
-            ayh_k[None, :], ayl_k[None, :], byg[:, None], bygl[:, None], yc
-        )
-        rX = _floor_df32(nx_hi, nx_lo, 0.5)
-        rY = _floor_df32(ny_hi, ny_lo, 0.5)
-        in_bounds = (rX < width) & (rY < height) & (rY >= 0) & (rX >= 0)
-        interior = (
-            in_bounds
-            & (rX > 1) & (rY > 1)
-            & (rX < max(width - 2, 0)) & (rY < max(height - 2, 0))
-        )
-        edge = in_bounds & ~interior
-        fbase_x = _floor_df32(nx_hi, nx_lo) - 1.0
-        fbase_y = _floor_df32(ny_hi, ny_lo) - 1.0
-        base_x = jnp.clip(fbase_x, 0, max(width - 4, 0)).astype(jnp.int32)
-        base_y = jnp.clip(fbase_y, 0, max(height - 4, 0)).astype(jnp.int32)
-        # In-bounds pixels have nearest == round(n) in [0, dim); it always
-        # falls inside the 4x4 tap window (offset 1 or 2 unclipped, 0..3 at
-        # the clip boundaries), so edge pixels ride the same matmul with
-        # one-hot weights instead of cubic ones.
-        nearest_x = jnp.clip(rX, 0, width - 1).astype(jnp.int32)
-        nearest_y = jnp.clip(rY, 0, height - 1).astype(jnp.int32)
-        offx = nearest_x - base_x
-        offy = nearest_y - base_y
 
-        one = jnp.float32(1.0)
         zero = jnp.float32(0.0)
-        wxs, wys = [], []
-        for t in range(4):
-            cub_x = _cubic_f32((nx_hi - (fbase_x + t)) + nx_lo)
-            cub_y = _cubic_f32((ny_hi - (fbase_y + t)) + ny_lo)
-            wxs.append(jnp.where(
-                interior, cub_x, jnp.where(edge & (offx == t), one, zero)))
-            wys.append(jnp.where(
-                interior, cub_y, jnp.where(edge & (offy == t), one, zero)))
-
         relx = (base_x - sxk).reshape(P)
         rely = (base_y - syk).reshape(P)
         dx = col_iota - relx[None, :]                      # [BW, P]

@@ -176,3 +176,40 @@ def test_r0_is_copy(ref_runner, tmp_path):
     assert cli.main(["-r0", p]) == 0
     with open(p + ".out", "rb") as f:
         assert f.read() == ref_out
+
+
+def test_ipt_platform_env_pins_backend(tmp_path):
+    """IPT_PLATFORM=cpu makes a CLI subprocess byte-exact vs the host golden
+    even when sitecustomize pre-registers a device backend (the env var alone
+    is ignored there; the CLI must apply the in-process config update)."""
+    import os
+    import subprocess
+    import sys
+
+    from imageprocessingtools_tpu.codec import ppm
+    from tests.conftest import make_image
+
+    img = make_image(23, 31, seed=7)
+    p = os.path.join(str(tmp_path), "plat.ppm")
+    ppm.write_ppm(p, img)
+    env = dict(os.environ, IPT_PLATFORM="cpu")
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import os, jax; "
+         "assert os.environ['IPT_PLATFORM'] == 'cpu'; "
+         "import imageprocessingtools_tpu.cli as cli; "
+         "import sys; sys.exit(0 if jax.default_backend() == 'cpu' else 3)"],
+        capture_output=True, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr.decode()
+    proc = subprocess.run(
+        [sys.executable, "-m", "imageprocessingtools_tpu.cli", "-w17", p],
+        capture_output=True, env=env,
+    )
+    assert proc.returncode == 0, proc.stdout.decode() + proc.stderr.decode()
+    from imageprocessingtools_tpu.golden import model as golden
+
+    with open(p + ".out", "rb") as f:
+        got = f.read()
+    assert got == ppm.encode_ppm(golden.resize_width(img, 17))
