@@ -5,17 +5,27 @@ re-expression of ``ppmx-edward.c:727-785``: output tiled G x L, per-tile
 source block, zone-folded banded tap weights), with the whole per-tile
 dataflow kept in VMEM:
 
-- one aligned DMA per tile pulls the uint8 source block HBM -> VMEM
-  (row start 8-aligned, column start 128-aligned; a dynamic `pltpu.roll`
-  re-centers lanes so the matmul contraction stays at BWP lanes);
-- the zone/tap decisions run in-kernel on [1, L] rows with the SAME
-  double-f32 helpers as the XLA path (`geometry._zone_taps`);
+- DOUBLE-BUFFERED per-tile DMA: tile t+1's uint8 source block streams
+  HBM -> VMEM while tile t computes (row start 8-aligned, column start
+  128-aligned; a dynamic `pltpu.roll` re-centers lanes so the matmul
+  contraction stays at BWP lanes);
+- the zone/tap decisions run ONCE per tile on the full [G, L] block with
+  the SAME double-f32 helpers as the XLA path (`geometry._zone_taps`) —
+  [G, L] = [16, 128] is two fully-packed vregs, so the geometry chain
+  costs ~2 vreg-ops per scalar op instead of the 16x sublane-padded
+  [1, L] form;
+- the banded selector matrices are built by `tpu.dynamic_gather`
+  (jnp.take_along_axis) from 8-row tap tables: one compare + one gather
+  per 8-sublane slab instead of a 4-way compare-select chain per tap.
+  Mosaic requires the gather source to fit a single vreg along the
+  gather dimension (8 sublanes for 32-bit) — the tables are [8, G*L];
 - the x-resample runs as TWO int8 MXU matmuls with int32 accumulation:
-  tap weights are quantized to w ~= q1/64 + q2/8192 (both int8; scales are
-  powers of two so the edge band's one-hot weights reconstruct EXACTLY and
-  nearest-neighbor pixels stay bit-exact). Interior weight error is
-  <= 2^-14 per tap -> < 0.08 LSB on the pixel value, well inside the
-  documented +-1 budget (tighter than the XLA path's Precision.HIGH);
+  tap weights are quantized to w ~= q1/64 + q2/8192 (both int8; scales
+  are powers of two so the edge band's one-hot weights reconstruct
+  EXACTLY and nearest-neighbor pixels stay bit-exact). Interior weight
+  error is <= 2^-14 per tap -> < 0.08 LSB on the pixel value, well
+  inside the documented +-1 budget (tighter than the XLA path's
+  Precision.HIGH);
 - the y-combine is an f32 VPU multiply + sublane reduction, identical in
   structure to the XLA path.
 
@@ -25,7 +35,7 @@ intermediate ever touches HBM here; per tile the only HBM traffic is the
 uint8 block read and the uint8 tile write.
 
 The kernel compiles per (H, W, angle) like the XLA path. Images whose
-plan doesn't fit (see `_pallas_fit`) fall back to the XLA path.
+plan doesn't fit (see `_pallas_plan`) fall back to the XLA path.
 """
 
 from __future__ import annotations
@@ -46,9 +56,18 @@ _S2 = 8192.0      # 2^13 — residual level; combined error <= 2^-14 per tap
 _INV1 = 1.0 / _S1
 _INV2 = 1.0 / _S2
 
-# Temporary ablation knob for on-chip cost attribution (see PROGRESS).
-# Members: "geom" (skip zone/tap geometry), "build" (skip selector builds),
-# "dot2" (skip second int8 pass), "dot1" (skip both dots).
+
+# Output tile shape, probed on hardware at 4K/30deg (same-run): G=16 wins
+# at 57.0 ms vs 82.9 at G=32 — the taller tile pushes bw past 128, and the
+# K=256 int8 dots (mostly zero rows) cost far more than the halved
+# per-grid-step overhead saves. Kept parameterized for per-angle tuning.
+_TILE_G = 16
+_TILE_L = 128
+
+
+# Cost-attribution knob (tools/ablate_pallas_rotate.py): members replace a
+# stage with cheap fakes of the same shape/dtype. NEVER set in production.
+# Members: "geom", "flat", "build", "dot2", "dots", "ystage".
 _ABLATE: frozenset = frozenset()
 
 
@@ -61,16 +80,20 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.lru_cache(maxsize=32)
-def _pallas_plan(height: int, width: int, angle: float):
+def _pallas_plan(height: int, width: int, angle: float, G: int, L: int):
     """Host-side plan: the XLA blocked plan + DMA alignment. None if unfit."""
-    plan = _g._blocked_plan(height, width, angle)
+    plan = _g._blocked_plan(height, width, angle, G, L)
     if plan is None:
         return None
     new_h, new_w, bh, bw, n_g, n_k, splits, sy, sx, xc, yc = plan
     bwp = 128 if bw <= 128 else 256       # matmul K (post-roll lanes)
     if bw > bwp:
         return None
-    bwc = bwp + 128                       # DMA width (128-aligned offset)
+    # DMA width: one extra 128-lane group for the aligned start, rounded to
+    # a POWER OF TWO lane count — Mosaic's dynamic lane roll silently
+    # corrupts 3-vreg (384-lane) arrays on hardware (verified: 256/512 ok,
+    # 384 wrong for every nonzero shift).
+    bwc = 256 if bwp == 128 else 512
     bh_al = _round_up(bh + 7, 8)
     h_pad = _round_up(height, 8)
     w_pad = _round_up(width, 128)
@@ -88,7 +111,7 @@ def _pallas_plan(height: int, width: int, angle: float):
     )
 
 
-def _make_kernel(n_k, bh_al, bwp, width, height, xc, yc, nch, G, L):
+def _make_kernel(n_k, n_tiles, bh_al, bwp, width, height, xc, yc, nch, G, L):
     GL = G * L
 
     def kernel(sy_ref, sxa_ref, d_ref,
@@ -98,96 +121,145 @@ def _make_kernel(n_k, bh_al, bwp, width, height, xc, yc, nch, G, L):
         g = pl.program_id(0)
         k = pl.program_id(1)
         t = g * n_k + k
-        sy = pl.multiple_of(sy_ref[t], 8)
-        sxa = pl.multiple_of(sxa_ref[t], 128)
-        d = d_ref[t]
-        bwc = blk.shape[2]
-        pltpu.make_async_copy(
-            planes_ref.at[:, pl.ds(sy, bh_al), pl.ds(sxa, bwc)], blk, sem,
-        ).start()
+        slot = lax.rem(t, 2)
+        bwc = blk.shape[3]
 
-        # --- per-output-row geometry on [1, L] (same helpers as XLA path) --
-        axh = axh_ref[0]
-        axl = axl_ref[0]
-        ayh = ayh_ref[0]
-        ayl = ayl_ref[0]
-        sx = sxa + d
-        relx_parts, rely_parts = [], []
-        wx_parts = [[] for _ in range(4)]
-        wy_parts = [[] for _ in range(4)]
+        def copy_for(tt, sl):
+            syt = pl.multiple_of(sy_ref[tt], 8)
+            sxt = pl.multiple_of(sxa_ref[tt], 128)
+            return pltpu.make_async_copy(
+                planes_ref.at[:, pl.ds(syt, bh_al), pl.ds(sxt, bwc)],
+                blk.at[sl], sem.at[sl],
+            )
+
+        @pl.when(t == 0)
+        def _():
+            copy_for(0, 0).start()
+
+        @pl.when(t + 1 < n_tiles)
+        def _():
+            copy_for(t + 1, 1 - slot).start()
+
+        # --- whole-tile geometry on [G, L] (same helpers as XLA path) -----
         if "geom" in _ABLATE:
-            fake_i = jnp.full((1, L), 1, jnp.int32)
-            fake_f = jnp.full((1, L), 0.25, jnp.float32)
-            for gg in range(G):
-                relx_parts.append(fake_i + bxh_ref[0, 0, gg].astype(jnp.int32))
-                rely_parts.append(fake_i)
-                for tap in range(4):
-                    wx_parts[tap].append(fake_f)
-                    wy_parts[tap].append(fake_f)
+            fi = (lax.broadcasted_iota(jnp.int32, (G, L), 1)
+                  + axh_ref[0].astype(jnp.int32) + bxh_ref[0].astype(jnp.int32))
+            base_x = fi % jnp.int32(max(width - 4, 1))
+            base_y = (fi + ayh_ref[0].astype(jnp.int32)
+                      + byh_ref[0].astype(jnp.int32)) % jnp.int32(
+                          max(height - 4, 1))
+            ff = base_x.astype(jnp.float32) * jnp.float32(1e-3)
+            wxs = [ff, ff, ff, ff]
+            wys = [ff, ff, ff, ff]
         else:
-            for gg in range(G):
-                base_x, base_y, wxs, wys = _g._zone_taps(
-                    (axh, axl), (bxh_ref[0, 0, gg], bxl_ref[0, 0, gg]),
-                    (ayh, ayl), (byh_ref[0, 0, gg], byl_ref[0, 0, gg]),
-                    xc, yc, width, height,
-                )
-                relx_parts.append(base_x - sx)
-                rely_parts.append(base_y - sy)
-                for tap in range(4):
-                    wx_parts[tap].append(wxs[tap])
-                    wy_parts[tap].append(wys[tap])
-
-        relx = jnp.concatenate(relx_parts, axis=1)           # [1, GL] i32
-        rely = jnp.concatenate(rely_parts, axis=1)
-        wx_t = [jnp.concatenate(p, axis=1) for p in wx_parts]  # 4 x [1, GL]
-        wy_t = [jnp.concatenate(p, axis=1) for p in wy_parts]
+            base_x, base_y, wxs, wys = _g._zone_taps(
+                (axh_ref[0], axl_ref[0]),          # [1, L]
+                (bxh_ref[0], bxl_ref[0]),          # [G, 1]
+                (ayh_ref[0], ayl_ref[0]),
+                (byh_ref[0], byl_ref[0]),
+                xc, yc, width, height,
+            )
+        d = d_ref[t]
+        sx = sxa_ref[t] + d
+        relx = base_x - sx                     # [G, L] i32
+        rely = base_y - sy_ref[t]
 
         # --- power-of-two int8 quantization of the x tap weights ----------
-        q1_t, q2_t = [], []
+        q1s, q2s = [], []
         for tap in range(4):
-            q1 = jnp.floor(wx_t[tap] * _S1 + 0.5)
-            q2 = jnp.floor((wx_t[tap] - q1 * _INV1) * _S2 + 0.5)
-            q1_t.append(q1)
-            q2_t.append(q2)
-        cs1 = q1_t[0] + q1_t[1] + q1_t[2] + q1_t[3]          # [1, GL] f32
-        cs2 = q2_t[0] + q2_t[1] + q2_t[2] + q2_t[3]
-        corr = 128.0 * (cs1 * _INV1 + cs2 * _INV2)           # [1, GL] f32
+            q1 = jnp.floor(wxs[tap] * _S1 + 0.5)
+            q2 = jnp.floor((wxs[tap] - q1 * _INV1) * _S2 + 0.5)
+            q1s.append(q1)
+            q2s.append(q2)
+        cs1 = q1s[0] + q1s[1] + q1s[2] + q1s[3]              # [G, L] f32
+        cs2 = q2s[0] + q2s[1] + q2s[2] + q2s[3]
+        corr = 128.0 * (cs1 * _INV1 + cs2 * _INV2)           # [G, L] f32
+
+        def flat(v):
+            # [G, L] -> [1, G*L] by lane-concat of sublane rows (Mosaic has
+            # no [G, L] -> [1, GL] shape cast). Each row is rolled to
+            # sublane 0 first: tpu.concatenate requires matching sublane
+            # offsets on the non-concat dim, and a bare v[gg:gg+1] slice
+            # keeps offset {gg, 0}.
+            return jnp.concatenate(
+                [(pltpu.roll(v, G - gg, 0) if gg else v)[0:1, :]
+                 for gg in range(G)], axis=1)
+
+        if "flat" in _ABLATE:
+            # [1, GL] data-dependent seed without sublane+lane broadcasts
+            # (Mosaic can't broadcast [1, 1] into both dims).
+            seed = jnp.concatenate(
+                [relx[0:1, :] + rely[0:1, :]] * (GL // L), axis=1)
+            relx_f = (lax.broadcasted_iota(jnp.int32, (1, GL), 1) % 64
+                      + seed % 8)
+            rely_f = relx_f % 32
+            tabs = (lax.broadcasted_iota(jnp.int32, (8, GL), 1)
+                    + seed).astype(jnp.float32) \
+                + jnp.concatenate([corr[0:1, :]] * (GL // L), axis=1)
+            tab1 = tab2 = taby = tabs
+        else:
+            relx_f = flat(relx)                              # [1, GL] i32
+            rely_f = flat(rely)
+            zeros4 = jnp.zeros((4, GL), jnp.float32)
+            tab1 = jnp.concatenate(
+                [flat(q) for q in q1s] + [zeros4], axis=0)   # [8, GL] f32
+            tab2 = jnp.concatenate(
+                [flat(q) for q in q2s] + [zeros4], axis=0)
+            taby = jnp.concatenate(
+                [flat(w) for w in wys] + [zeros4], axis=0)
+
+        # --- banded selectors via single-vreg-table dynamic_gather --------
+        # Row index 4..7 of each table is zero: out-of-band dx (including
+        # black-zone garbage bases) selects an exactly-zero weight. The
+        # clamp is 3 signed ops (Mosaic has no minui): dm >= 4 pins to row 4,
+        # dm < 0 pins to -1 whose low bits select row 7 — both zero rows.
+        four = jnp.int32(4)
+        neg1 = jnp.int32(-1)
+        seven = jnp.int32(7)
+
+        def gather_rows(tab, dm, rows):
+            idx = jnp.maximum(jnp.minimum(dm, four), neg1) & seven
+            return jnp.concatenate(
+                [jnp.take_along_axis(tab, idx[s * 8:(s + 1) * 8], axis=0)
+                 for s in range(rows // 8)], axis=0)
 
         if "build" in _ABLATE:
-            seed = (relx + rely).astype(jnp.float32) + q1_t[0] + q2_t[0]
+            sb = relx_f + tab1[0:1].astype(jnp.int32) \
+                + tab2[0:1].astype(jnp.int32)
             w1 = (lax.broadcasted_iota(jnp.int32, (bwp, GL), 0)
-                  + seed.astype(jnp.int32)).astype(jnp.int8)
+                  + sb).astype(jnp.int8)
             w2 = w1
-            w_y = (lax.broadcasted_iota(jnp.int32, (bh_al, GL), 0)
-                   .astype(jnp.float32) + seed)
+            w_y = lax.broadcasted_iota(
+                jnp.int32, (bh_al, GL), 0).astype(jnp.float32) \
+                + taby[0:1] + rely_f.astype(jnp.float32)
         else:
-            dx = lax.broadcasted_iota(jnp.int32, (bwp, GL), 0) - relx
-            zero_i = jnp.int32(0)
-            w1 = sum(
-                jnp.where(dx == tap, q1_t[tap].astype(jnp.int32), zero_i)
-                for tap in range(4)
-            ).astype(jnp.int8)                                   # [BWP, GL]
-            w2 = sum(
-                jnp.where(dx == tap, q2_t[tap].astype(jnp.int32), zero_i)
-                for tap in range(4)
-            ).astype(jnp.int8)
+            dxm = lax.broadcasted_iota(jnp.int32, (bwp, GL), 0) - relx_f
+            w1 = gather_rows(tab1, dxm, bwp).astype(jnp.int32).astype(jnp.int8)
+            w2 = gather_rows(tab2, dxm, bwp).astype(jnp.int32).astype(jnp.int8)
+            dym = lax.broadcasted_iota(jnp.int32, (bh_al, GL), 0) - rely_f
+            w_y = gather_rows(taby, dym, bh_al)              # [BH, GL] f32
 
-            dy = lax.broadcasted_iota(jnp.int32, (bh_al, GL), 0) - rely
-            zero_f = jnp.float32(0.0)
-            w_y = sum(
-                jnp.where(dy == tap, wy_t[tap], zero_f) for tap in range(4)
-            )                                                    # [BH, GL] f32
+        copy_for(t, slot).wait()
 
-        pltpu.make_async_copy(
-            planes_ref.at[:, pl.ds(sy, bh_al), pl.ds(sxa, bwc)], blk, sem,
-        ).wait()
+        # Shared across channels: rw[g, l] = sum_h w_y — carries the corr
+        # term (and exact zeros for the black zone) past the y-reduce.
+        def col_sums(m):
+            # [BH, GL] -> [G, L] per-column-group sums.
+            rows = [
+                jnp.sum(m[:, gg * L:(gg + 1) * L], axis=0, keepdims=True)
+                for gg in range(G)
+            ]
+            return jnp.concatenate(rows, axis=0)
+
+        rw = col_sums(w_y)                                   # [G, L] f32
 
         outs = []
         for c in range(nch):
-            rolled = pltpu.roll(blk[c].astype(jnp.int32), -d, 1)[:, :bwp]
+            rolled = pltpu.roll(blk[slot, c].astype(jnp.int32), -d, 1)[:, :bwp]
             bi8 = (rolled - 128).astype(jnp.int8)            # exact shift
-            if "dot1" in _ABLATE:
-                h1 = (bi8.astype(jnp.int32)[:, :1] + jnp.zeros((1, GL), jnp.int32))
+            if "dots" in _ABLATE:
+                h1 = (bi8.astype(jnp.int32)[:, 0:1]
+                      + w1.astype(jnp.int32)[0:1, :])
                 h2 = h1
             else:
                 h1 = lax.dot_general(
@@ -198,14 +270,19 @@ def _make_kernel(n_k, bh_al, bwp, width, height, xc, yc, nch, G, L):
                     bi8, w2, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 )
-            xf = h1.astype(jnp.float32) * _INV1 \
-                + h2.astype(jnp.float32) * _INV2 + corr      # [BH, GL]
-            prod = xf * w_y
-            rows = [
-                jnp.sum(prod[:, gg * L:(gg + 1) * L], axis=0, keepdims=True)
-                for gg in range(G)
-            ]
-            acc = jnp.concatenate(rows, axis=0)              # [G, L] f32
+            # w = (q1*128 + q2)/8192, so h = h1<<7 + h2 is the EXACT
+            # 8192-scaled x-resample of (pix - 128); scale and the +128
+            # correction are linear in w_y, so both move past the reduce:
+            # out = sum_h wy*(h/8192 + 128*csum) = (sum wy*h)/8192 + corr*rw
+            # ... with corr folded per-column after the reduce (corr is
+            # constant down each column).
+            h = (h1 << 7) + h2                               # [BH, GL] i32
+            if "ystage" in _ABLATE:
+                acc = (h[0:G, 0:L].astype(jnp.float32)
+                       + w_y[0:G, 0:L] + corr * rw)
+            else:
+                prod = h.astype(jnp.float32) * w_y
+                acc = col_sums(prod) * jnp.float32(_INV2) + corr * rw
             acc = jnp.where(acc < 0.0, 0.0, acc)
             acc = jnp.where(acc >= 256.0, 255.0, acc)
             # (int) truncation as in the C (:781); edge/outside are exact.
@@ -217,13 +294,13 @@ def _make_kernel(n_k, bh_al, bwp, width, height, xc, yc, nch, G, L):
 
 @functools.lru_cache(maxsize=16)
 def _build_call(n_g, n_k, bh_al, bwp, bwc, width, height, xc, yc, nch,
-                h_pad, w_pad, interpret):
-    G, L = _g._BLOCK_G, _g._BLOCK_L
-    kernel = _make_kernel(n_k, bh_al, bwp, width, height, xc, yc, nch, G, L)
+                h_pad, w_pad, interpret, G, L):
+    kernel = _make_kernel(
+        n_k, n_g * n_k, bh_al, bwp, width, height, xc, yc, nch, G, L)
     ax_spec = pl.BlockSpec((1, 1, L), lambda g, k, *_: (k, 0, 0),
                            memory_space=pltpu.VMEM)
-    b_spec = pl.BlockSpec((1, 1, G), lambda g, k, *_: (g, 0, 0),
-                          memory_space=pltpu.SMEM)
+    b_spec = pl.BlockSpec((1, G, 1), lambda g, k, *_: (g, 0, 0),
+                          memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_g, n_k),
@@ -232,8 +309,8 @@ def _build_call(n_g, n_k, bh_al, bwp, bwc, width, height, xc, yc, nch,
         out_specs=pl.BlockSpec((nch, G, L), lambda g, k, *_: (0, g, k),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((nch, bh_al, bwc), jnp.uint8),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, nch, bh_al, bwc), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     call = pl.pallas_call(
@@ -252,7 +329,8 @@ def rotate_blocked_pallas(img, angle: float, interpret: bool | None = None):
     pixels exact, interior +-1 LSB vs the f64 golden.
     """
     height, width = img.shape[0], img.shape[1]
-    plan = _pallas_plan(height, width, float(angle))
+    G, L = _TILE_G, _TILE_L
+    plan = _pallas_plan(height, width, float(angle), G, L)
     if plan is None:
         return None
     (new_h, new_w, bh_al, bwp, bwc, n_g, n_k, splits,
@@ -262,7 +340,6 @@ def rotate_blocked_pallas(img, angle: float, interpret: bool | None = None):
     if squeeze:
         img = img[:, :, None]
     nch = img.shape[2]
-    G, L = _g._BLOCK_G, _g._BLOCK_L
 
     planes = jnp.stack([img[:, :, c] for c in range(nch)], axis=0)
     if h_pad != height or w_pad != width:
@@ -274,14 +351,15 @@ def rotate_blocked_pallas(img, angle: float, interpret: bool | None = None):
         n_g, n_k, bh_al, bwp, bwc, width, height, xc, yc, nch,
         h_pad, w_pad,
         _interpret() if interpret is None else interpret,
+        G, L,
     )
     out = call(
         jnp.asarray(sy_al), jnp.asarray(sx_al), jnp.asarray(d),
         planes,
         jnp.asarray(axh.reshape(n_k, 1, L)), jnp.asarray(axl.reshape(n_k, 1, L)),
         jnp.asarray(ayh.reshape(n_k, 1, L)), jnp.asarray(ayl.reshape(n_k, 1, L)),
-        jnp.asarray(bxh.reshape(n_g, 1, G)), jnp.asarray(bxl.reshape(n_g, 1, G)),
-        jnp.asarray(byh.reshape(n_g, 1, G)), jnp.asarray(byl.reshape(n_g, 1, G)),
+        jnp.asarray(bxh.reshape(n_g, G, 1)), jnp.asarray(bxl.reshape(n_g, G, 1)),
+        jnp.asarray(byh.reshape(n_g, G, 1)), jnp.asarray(byl.reshape(n_g, G, 1)),
     )
     out = jnp.stack([out[c, :new_h, :new_w] for c in range(nch)], axis=-1)
     return out[:, :, 0] if squeeze else out

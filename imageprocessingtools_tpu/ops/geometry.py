@@ -17,6 +17,7 @@ bit-for-bit (audited by `rotation_decisions_safe`).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -330,11 +331,16 @@ _BLOCK_L = 128  # output tile cols (lane count)
 _ROTATE_DOT_PRECISION = jax.lax.Precision.HIGH
 
 
-@functools.lru_cache(maxsize=32)
-def _blocked_plan(height: int, width: int, angle: float):
+@functools.lru_cache(maxsize=64)
+def _blocked_plan(height: int, width: int, angle: float,
+                  G: int | None = None, L: int | None = None):
     """Host-side f64 plan for the blocked path; None if the image is smaller
-    than one source block (fallback to the gather path)."""
-    G, L = _BLOCK_G, _BLOCK_L
+    than one source block (fallback to the gather path).
+
+    G/L override the output tile shape (the Pallas kernel uses taller
+    tiles than the XLA scan path — per-grid-step overhead dominates it)."""
+    G = _BLOCK_G if G is None else G
+    L = _BLOCK_L if L is None else L
     folded = _exact.fold_angle(float(angle))
     new_w, new_h = _exact.calc_rot_size(folded, width, height)
     theta = (float(angle) * np.pi) / 180.0
@@ -599,6 +605,24 @@ def rotate(img: jnp.ndarray, angle_deg: float, strict: bool = False) -> jnp.ndar
         return rotate270(img)
     if strict and not rotation_decisions_safe(img.shape[0], img.shape[1], angle):
         return jnp.asarray(rotate_exact(img, angle))
+    if (
+        jax.default_backend() == "tpu"
+        and not isinstance(img, jax.core.Tracer)
+        and img.shape[0] * img.shape[1] >= 1_500_000
+        and not os.environ.get("IPT_NO_PALLAS_ROTATE")
+    ):
+        # Per-tile-DMA Pallas kernel (same zone semantics and +-1 budget,
+        # tighter interior quantization). Tracer inputs (vmap/jit of the
+        # caller) and unfit plans stay on the XLA blocked path. The size
+        # gate keeps minutes-scale Mosaic compiles off small images where
+        # the XLA path is already sub-10 ms.
+        from imageprocessingtools_tpu.kernels.pallas_rotate import (
+            rotate_blocked_pallas,
+        )
+
+        pallas_out = rotate_blocked_pallas(img, angle)
+        if pallas_out is not None:
+            return pallas_out
     blocked = _rotate_blocked(img, angle)
     if blocked is not None:
         return blocked

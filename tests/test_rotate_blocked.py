@@ -137,3 +137,50 @@ def test_device_rotate_tiny_dims(shape, angle):
     out = np.asarray(geometry.rotate(img, angle))
     exp = golden.rotate(img, angle)
     np.testing.assert_array_equal(out, exp)
+
+
+class TestPallasRotate:
+    """Interpret-mode parity for the Pallas per-tile-DMA rotation kernel.
+
+    On hardware (`IPT_TEST_TPU=1`) the same cases exercise the Mosaic
+    compile; the budget is identical to the XLA blocked path: zones and
+    edge/outside exact, interior +-1 LSB vs the f64 golden.
+    """
+
+    @pytest.mark.parametrize("angle", [30, 117.5, 245, 333.3])
+    def test_parity_rgb(self, angle, monkeypatch):
+        from imageprocessingtools_tpu.kernels import pallas_rotate
+
+        # The production tile height targets 4K-class images; small parity
+        # shapes exercise the same kernel at the shorter tile.
+        monkeypatch.setattr(pallas_rotate, "_TILE_G", 16)
+        rng = np.random.default_rng(int(angle))
+        img = rng.integers(0, 256, size=(160, 200, 3), dtype=np.uint8)
+        out = pallas_rotate.rotate_blocked_pallas(img, angle)
+        assert out is not None, "plan must fit at this shape"
+        out = np.asarray(out)
+        exp = golden.rotate(img, float(angle))
+        assert out.shape == exp.shape
+        rp = _exact.plan_rotation(160, 200, float(angle))
+        outside = ~(rp.interior | rp.edge)
+        diff = np.abs(out.astype(np.int64) - exp.astype(np.int64))
+        np.testing.assert_array_equal(diff[outside], 0)
+        np.testing.assert_array_equal(diff[rp.edge], 0)
+        assert diff.max() <= 1
+
+    def test_gray_2d_and_unfit_fallback(self, monkeypatch):
+        from imageprocessingtools_tpu.kernels import pallas_rotate
+
+        monkeypatch.setattr(pallas_rotate, "_TILE_G", 16)
+        rotate_blocked_pallas = pallas_rotate.rotate_blocked_pallas
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, size=(180, 220), dtype=np.uint8)
+        out = rotate_blocked_pallas(img, 61.0)
+        assert out is not None
+        exp = golden.rotate(img, 61.0)
+        assert np.abs(
+            np.asarray(out).astype(np.int64) - exp.astype(np.int64)
+        ).max() <= 1
+        # Too small for one source block -> caller must fall back.
+        tiny = rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+        assert rotate_blocked_pallas(tiny, 30.0) is None
