@@ -82,7 +82,11 @@ def _round_up(x: int, m: int) -> int:
 @functools.lru_cache(maxsize=32)
 def _pallas_plan(height: int, width: int, angle: float, G: int, L: int):
     """Host-side plan: the XLA blocked plan + DMA alignment. None if unfit."""
-    plan = _g._blocked_plan(height, width, angle, G, L)
+    # None-normalize default G/L so the cache entry is shared with the XLA
+    # path's 3-arg _blocked_plan calls instead of duplicating the f64 work.
+    plan = _g._blocked_plan(
+        height, width, angle,
+        None if G == _g._BLOCK_G else G, None if L == _g._BLOCK_L else L)
     if plan is None:
         return None
     new_h, new_w, bh, bw, n_g, n_k, splits, sy, sx, xc, yc = plan
@@ -294,7 +298,7 @@ def _make_kernel(n_k, n_tiles, bh_al, bwp, width, height, xc, yc, nch, G, L):
 
 @functools.lru_cache(maxsize=16)
 def _build_call(n_g, n_k, bh_al, bwp, bwc, width, height, xc, yc, nch,
-                h_pad, w_pad, interpret, G, L):
+                interpret, G, L):
     kernel = _make_kernel(
         n_k, n_g * n_k, bh_al, bwp, width, height, xc, yc, nch, G, L)
     ax_spec = pl.BlockSpec((1, 1, L), lambda g, k, *_: (k, 0, 0),
@@ -304,7 +308,7 @@ def _build_call(n_g, n_k, bh_al, bwp, bwc, width, height, xc, yc, nch,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_g, n_k),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
         + [ax_spec] * 4 + [b_spec] * 4,
         out_specs=pl.BlockSpec((nch, G, L), lambda g, k, *_: (0, g, k),
                                memory_space=pltpu.VMEM),
@@ -349,7 +353,6 @@ def rotate_blocked_pallas(img, angle: float, interpret: bool | None = None):
     (axh, axl), (bxh, bxl), (ayh, ayl), (byh, byl) = splits
     call = _build_call(
         n_g, n_k, bh_al, bwp, bwc, width, height, xc, yc, nch,
-        h_pad, w_pad,
         _interpret() if interpret is None else interpret,
         G, L,
     )

@@ -337,8 +337,9 @@ def _blocked_plan(height: int, width: int, angle: float,
     """Host-side f64 plan for the blocked path; None if the image is smaller
     than one source block (fallback to the gather path).
 
-    G/L override the output tile shape (the Pallas kernel uses taller
-    tiles than the XLA scan path — per-grid-step overhead dominates it)."""
+    G/L override the output tile shape (the Pallas kernel keeps them
+    parameterized for per-angle tuning; (16, 128) won the hardware probe
+    for both paths at 4K/30deg)."""
     G = _BLOCK_G if G is None else G
     L = _BLOCK_L if L is None else L
     folded = _exact.fold_angle(float(angle))
@@ -585,6 +586,26 @@ def rotation_decisions_safe(height: int, width: int, angle: float) -> bool:
     return True
 
 
+_PALLAS_ROTATE_CALLS: dict = {}
+
+
+def _pallas_rotate_worthwhile(height: int, width: int, angle: float) -> bool:
+    """True once a geometry repeats in-process (or IPT_PALLAS_ROTATE=1).
+
+    The Mosaic compile costs minutes through this environment's tunnel for
+    a ~1 ms/call steady-state win over the XLA blocked path, so the kernel
+    only pays off for repeated same-geometry rotations (batch loops,
+    benchmarks, services). The first eager call takes the XLA path; from
+    the second on, the Pallas kernel compiles once and serves the rest.
+    """
+    if os.environ.get("IPT_PALLAS_ROTATE"):
+        return True
+    key = (height, width, angle)
+    n = _PALLAS_ROTATE_CALLS.get(key, 0)
+    _PALLAS_ROTATE_CALLS[key] = n + 1
+    return n >= 1
+
+
 def rotate(img: jnp.ndarray, angle_deg: float, strict: bool = False) -> jnp.ndarray:
     """CW rotation by ``angle_deg`` with the reference's exact zone logic.
 
@@ -610,12 +631,15 @@ def rotate(img: jnp.ndarray, angle_deg: float, strict: bool = False) -> jnp.ndar
         and not isinstance(img, jax.core.Tracer)
         and img.shape[0] * img.shape[1] >= 1_500_000
         and not os.environ.get("IPT_NO_PALLAS_ROTATE")
+        and _pallas_rotate_worthwhile(img.shape[0], img.shape[1], angle)
     ):
         # Per-tile-DMA Pallas kernel (same zone semantics and +-1 budget,
         # tighter interior quantization). Tracer inputs (vmap/jit of the
         # caller) and unfit plans stay on the XLA blocked path. The size
         # gate keeps minutes-scale Mosaic compiles off small images where
-        # the XLA path is already sub-10 ms.
+        # the XLA path is already sub-10 ms; the repeat gate keeps them
+        # off one-shot CLI runs where a minutes-scale compile can never
+        # amortize its ~1 ms/call steady-state win.
         from imageprocessingtools_tpu.kernels.pallas_rotate import (
             rotate_blocked_pallas,
         )

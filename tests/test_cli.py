@@ -192,8 +192,9 @@ def test_ipt_platform_env_pins_backend(tmp_path):
     img = make_image(23, 31, seed=7)
     p = os.path.join(str(tmp_path), "plat.ppm")
     ppm.write_ppm(p, img)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ, IPT_PLATFORM="cpu")
-    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = repo_root + ":" + env.get("PYTHONPATH", "")
     proc = subprocess.run(
         [sys.executable, "-c",
          "import os, jax; "

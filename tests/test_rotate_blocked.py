@@ -184,3 +184,17 @@ class TestPallasRotate:
         # Too small for one source block -> caller must fall back.
         tiny = rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
         assert rotate_blocked_pallas(tiny, 30.0) is None
+
+
+def test_pallas_dispatch_repeat_gate(monkeypatch):
+    """The Pallas dispatch is gated on a REPEATED geometry: a one-shot CLI
+    rotation must never pay the minutes-scale Mosaic compile; the second
+    same-geometry call (batch loops, services) opts in. IPT_PALLAS_ROTATE=1
+    forces it on."""
+    monkeypatch.setattr(geometry, "_PALLAS_ROTATE_CALLS", {})
+    monkeypatch.delenv("IPT_PALLAS_ROTATE", raising=False)
+    assert geometry._pallas_rotate_worthwhile(2160, 3840, 30.0) is False
+    assert geometry._pallas_rotate_worthwhile(2160, 3840, 30.0) is True
+    assert geometry._pallas_rotate_worthwhile(2160, 3840, 31.0) is False
+    monkeypatch.setenv("IPT_PALLAS_ROTATE", "1")
+    assert geometry._pallas_rotate_worthwhile(1080, 1920, 45.0) is True

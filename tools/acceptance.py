@@ -126,6 +126,25 @@ def main() -> None:
         "mpix_per_s_4k": round(img4k.shape[0] * img4k.shape[1] / sec / 1e6, 1),
     }
 
+    # 6b. Same op through the Pallas per-tile-DMA kernel (the eager-path
+    # dispatch target for repeated >=1.5 MPix geometries); parity at 1080p,
+    # rate at 4K.
+    from imageprocessingtools_tpu.kernels.pallas_rotate import (
+        rotate_blocked_pallas,
+    )
+
+    pout = rotate_blocked_pallas(img, 30)
+    if pout is not None:
+        pd = _maxdiff(pout, exp)
+        sec = device_loop_rate(
+            lambda c: rotate_blocked_pallas(c, 30), img4k, iters=3)
+        report["6b_rotate30_pallas"] = {
+            "maxdiff": pd,
+            "budget": 1,
+            "mpix_per_s_4k": round(
+                img4k.shape[0] * img4k.shape[1] / sec / 1e6, 1),
+        }
+
     # 7. REFERENCE op: bicubic resize 4K -> 1920 (MXU matmuls), budget +-1.
     new_w = dims_4k[1] // 2
     out = np.asarray(ipt.resize_width(img4k, new_w))

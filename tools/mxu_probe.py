@@ -62,7 +62,11 @@ def probe(name, lhs, rhs, iters=2000, repeats=3, **dot_kwargs):
 
 
 def main():
-    b, m, k, n = (int(x) for x in sys.argv[1:5]) if len(sys.argv) > 4 else (64, 96, 128, 2048)
+    if len(sys.argv) not in (1, 5):
+        sys.exit("usage: mxu_probe.py [B M K N] (all four or none)")
+    b, m, k, n = (
+        (int(x) for x in sys.argv[1:5]) if len(sys.argv) == 5
+        else (64, 96, 128, 2048))
     print(f"shapes: [{b},{m},{k}] @ [{b},{k},{n}]  "
           f"({2.0*b*m*k*n/1e9:.2f} GFLOP/iter); device={jax.devices()[0]}")
     rng = np.random.default_rng(0)
