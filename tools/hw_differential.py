@@ -1,0 +1,158 @@
+"""End-to-end hardware differential: CLI on the TPU backend vs the C binary.
+
+Runs the reference binary and our CLI (default backend = the real chip) on
+the same images/flag combos and compares outputs under the documented
+budgets: byte-identical for exact ops (flips, gray, mono, rot90/180/270,
+r0), +-1 LSB for resize and arbitrary rotation (f32/device numerics), with
+rotation zone pixels (edge/outside) exact.
+
+Each arbitrary-rotation case runs TWICE so the second pass exercises the
+Pallas per-tile-DMA kernel through the production repeat-gate dispatch
+(geometry._pallas_rotate_worthwhile) when the image clears 1.5 MPix.
+
+    python tools/hw_differential.py          # on the chip
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ORACLE = os.path.join(REPO, ".cache", "ppmx_ref")
+
+
+def _ensure_oracle():
+    if not os.path.exists(ORACLE):
+        os.makedirs(os.path.dirname(ORACLE), exist_ok=True)
+        subprocess.run(
+            ["gcc", "-O2", "-o", ORACLE, "/root/reference/ppmx-edward.c", "-lm"],
+            check=True,
+        )
+
+
+def _run_c(img_bytes: bytes, flags: list[str], td: str):
+    path = os.path.join(td, "c.ppm")
+    with open(path, "wb") as f:
+        f.write(img_bytes)
+    r = subprocess.run([ORACLE] + flags + [path], capture_output=True, cwd=td)
+    out = None
+    if os.path.exists(path + ".out"):
+        with open(path + ".out", "rb") as f:
+            out = f.read()
+    return r.returncode, out
+
+
+def main():
+    import jax
+
+    from imageprocessingtools_tpu.codec import ppm
+    from imageprocessingtools_tpu.cli import main as cli_main
+    from imageprocessingtools_tpu.ops import _exact
+
+    _ensure_oracle()
+    backend = jax.default_backend()
+    rng = np.random.default_rng(123)
+    # >= 1.5 MPix so repeated rotations clear the Pallas dispatch gate.
+    big = rng.integers(0, 256, (1200, 1400, 3), dtype=np.uint8)
+    small = rng.integers(0, 256, (220, 260, 3), dtype=np.uint8)
+
+    cases = [
+        # (name, image, flags, budget, rotation_angle or None)
+        ("gray", small, ["-gray"], 0, None),
+        ("mono_p4", small, ["-mono"], 0, None),
+        ("flips", small, ["-fv"], 0, None),
+        ("rot90", small, ["-r90"], 0, None),
+        ("r0_copy", small, ["-r0"], 0, None),
+        ("resize_down", big, ["-w700"], 1, None),
+        ("resize_up", small, ["-w400"], 1, None),
+        ("rotate_big_xla_then_pallas", big, ["-r33"], 1, 33.0),
+        ("rotate_wideblock", big, ["-r164"], 1, 164.0),
+        ("combo", big, ["-w1300", "-r47", "-gray", "-fh"], 1, None),
+    ]
+
+    report = {"backend": backend, "cases": {}}
+    ok_all = True
+    for name, img, flags, budget, angle in cases:
+        img_bytes = ppm.encode_ppm(img)
+        with tempfile.TemporaryDirectory() as td:
+            c_code, c_out = _run_c(img_bytes, flags, td)
+            passes = 2 if angle is not None else 1
+            for p in range(passes):
+                path = os.path.join(td, f"ours{p}.ppm")
+                with open(path, "wb") as f:
+                    f.write(img_bytes)
+                code = cli_main(flags + [path])
+                with open(path + ".out", "rb") as f:
+                    ours = f.read()
+                entry = report["cases"].setdefault(name, {})
+                key = "pass%d" % p
+                if code != c_code or c_out is None:
+                    entry[key] = {"ok": False, "exit": [c_code, code]}
+                    ok_all = False
+                    continue
+                if budget == 0:
+                    ok = ours == c_out
+                    entry[key] = {"ok": bool(ok), "identical": bool(ok)}
+                    ok_all &= ok
+                    continue
+                # +-1 budget: compare decoded payloads (headers must match).
+                ch, co = ours, c_out
+                hdr_end_c = _payload_off(co)
+                hdr_end_o = _payload_off(ch)
+                same_hdr = co[:hdr_end_c] == ch[:hdr_end_o]
+                a = np.frombuffer(co[hdr_end_c:], np.uint8).astype(int)
+                b = np.frombuffer(ch[hdr_end_o:], np.uint8).astype(int)
+                if not same_hdr or a.shape != b.shape:
+                    entry[key] = {"ok": False, "reason": "header/shape"}
+                    ok_all = False
+                    continue
+                md = int(np.abs(a - b).max()) if a.size else 0
+                frac = float((a != b).mean()) if a.size else 0.0
+                ok = md <= budget
+                entry[key] = {
+                    "ok": bool(ok), "maxdiff": md,
+                    "diff_frac": round(frac, 6), "budget": budget,
+                }
+                ok_all &= ok
+            if angle is not None:
+                # Confirm the second pass went through the Pallas kernel.
+                from imageprocessingtools_tpu.ops import geometry
+
+                key = (img.shape[0], img.shape[1], float(angle))
+                report["cases"][name]["pallas_dispatch_count"] = (
+                    geometry._PALLAS_ROTATE_CALLS.get(key, 0)
+                )
+
+    report["ok"] = bool(ok_all)
+    print(json.dumps(report, indent=2))
+    sys.exit(0 if ok_all else 1)
+
+
+def _payload_off(data: bytes) -> int:
+    """Offset of the binary payload: after magic, dims[, maxval] tokens."""
+    n_tokens = 3 if data.startswith(b"P4") else 4
+    i = 0
+    seen = 0
+    while seen < n_tokens:
+        while data[i:i + 1].isspace():
+            i += 1
+        if data[i:i + 1] == b"#":
+            while data[i:i + 1] not in (b"\n", b""):
+                i += 1
+            continue
+        while not data[i:i + 1].isspace():
+            i += 1
+        seen += 1
+    return i + 1
+
+
+if __name__ == "__main__":
+    main()
