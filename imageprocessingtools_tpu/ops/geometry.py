@@ -644,7 +644,19 @@ def rotate(img: jnp.ndarray, angle_deg: float, strict: bool = False) -> jnp.ndar
             rotate_blocked_pallas,
         )
 
-        pallas_out = rotate_blocked_pallas(img, angle)
+        try:
+            pallas_out = rotate_blocked_pallas(img, angle)
+        except Exception as exc:  # pragma: no cover - hardware-specific
+            # Mosaic has shipped silent shape-dependent limitations before
+            # (see CLAUDE.md lore); an unforeseen compile failure on a new
+            # geometry must degrade to the XLA path, not kill the caller.
+            from imageprocessingtools_tpu.utils import log
+
+            log.emit(
+                "pallas_rotate_fallback",
+                shape=tuple(img.shape), angle=angle, error=repr(exc),
+            )
+            pallas_out = None
         if pallas_out is not None:
             return pallas_out
     blocked = _rotate_blocked(img, angle)

@@ -198,3 +198,25 @@ def test_pallas_dispatch_repeat_gate(monkeypatch):
     assert geometry._pallas_rotate_worthwhile(2160, 3840, 31.0) is False
     monkeypatch.setenv("IPT_PALLAS_ROTATE", "1")
     assert geometry._pallas_rotate_worthwhile(1080, 1920, 45.0) is True
+
+
+def test_pallas_dispatch_falls_back_on_kernel_error(monkeypatch):
+    """An unforeseen Mosaic failure in the Pallas kernel must degrade to
+    the XLA blocked path (with a logged event), never crash the caller."""
+    from imageprocessingtools_tpu.kernels import pallas_rotate
+
+    monkeypatch.setattr(geometry, "_PALLAS_ROTATE_CALLS", {})
+    monkeypatch.setenv("IPT_PALLAS_ROTATE", "1")
+    monkeypatch.setattr(
+        geometry.jax, "default_backend", lambda: "tpu", raising=True)
+
+    def boom(img, angle):
+        raise RuntimeError("Mosaic failed to compile TPU kernel (simulated)")
+
+    monkeypatch.setattr(pallas_rotate, "rotate_blocked_pallas", boom)
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(1200, 1400, 3), dtype=np.uint8)
+    out = np.asarray(geometry.rotate(img, 33.0))
+    exp = golden.rotate(img, 33.0)
+    assert out.shape == exp.shape
+    assert np.abs(out.astype(np.int64) - exp.astype(np.int64)).max() <= 1
