@@ -73,15 +73,16 @@ struct Lexer {
       int significant = 0;
       while (!eof && is_digit(cur)) {
         if (!(v == 0 && cur == '0')) ++significant;  // skip leading zeros
-        if (significant <= 19) {
+        if (significant <= 9) {
           v = v * 10 + static_cast<uint64_t>(cur - '0');
-        } else {
-          // Saturate: matches the Python codec, where an absurdly large
-          // dimension later fails the payload-length check.
-          v = UINT64_MAX / 8;
         }
         if (!next_char()) return kErrTrailer;
       }
+      // Quirk-B4 hardening, identical to the Python lexer: the reference's
+      // 10-byte token buffer overflows (UB) at >= 10 significant digits, so
+      // <= 9 digits is its entire defined domain. Reject cleanly (and never
+      // hand a value that could truncate at the uint32 ABI to the caller).
+      if (significant > 9) return kErrMagic;
       *out = v;
       return 0;
     }

