@@ -214,3 +214,64 @@ def test_ipt_platform_env_pins_backend(tmp_path):
     with open(p + ".out", "rb") as f:
         got = f.read()
     assert got == ppm.encode_ppm(golden.resize_width(img, 17))
+
+
+_FLAG_ALPHABET = list("fhvwrgmono0123456789x- ")
+
+
+def _random_flag(rng):
+    kind = rng.integers(0, 6)
+    if kind == 0:
+        return "-" + "".join(
+            _FLAG_ALPHABET[i]
+            for i in rng.integers(0, len(_FLAG_ALPHABET), rng.integers(1, 6))
+        ).strip()
+    if kind == 1:
+        return "-w" + str(rng.integers(0, 48))
+    if kind == 2:
+        return "-r" + str(rng.choice(
+            [0, 1, 7, 45, 90, 135, 180, 270, 359, 360, 361, 399]))
+    if kind == 3:
+        return str(rng.choice(["-fv", "-fh", "-gray", "-mono"]))
+    if kind == 4:  # near-miss prefixes/suffixes
+        return str(rng.choice(["-f", "-g", "-m", "-w", "-r", "-grayx",
+                               "-monoz", "-fvv", "-fhh", "-w1x", "-r5x"]))
+    return str(rng.choice(["-w007", "-r000", "-r359", "-w1", "--gray", "-"]))
+
+
+@pytest.mark.parametrize("batch", range(2))
+def test_random_arg_fuzz_differential(ref_runner, tmp_path, capsys, batch):
+    """Random flag-string fuzzing: the charwise reference parser has
+    accept/reject edges the curated cases can't enumerate (junk after a
+    valid prefix, duplicate detection order, range checks). Every case
+    must match the C binary on exit code and stdout; when both succeed
+    and the combo avoids bug B1 (gray/mono + flip without resize/rotate),
+    the .out bytes must match byte-for-byte on CPU."""
+    rng = np.random.default_rng(88200 + batch)
+    img = make_image(12, 11, seed=batch)
+    data = ppm.encode_ppm(img)
+    for case in range(20):
+        n = int(rng.integers(1, 4))
+        args = [_random_flag(rng) for _ in range(n)]
+        ref_code, ref_stdout, ref_out = ref_runner.run(data, args)
+        our_code, our_stdout, our_out = run_ours(
+            tmp_path, data, args, capsys, name=f"f{batch}_{case}.ppm")
+        assert our_code == ref_code, (args, our_stdout, ref_stdout)
+        assert our_stdout == ref_stdout, (args,)
+        if ref_code == 0:
+            has_gm = any(a in ("-gray", "-mono") for a in args)
+            has_flip = any(a in ("-fv", "-fh") for a in args)
+            has_resize = any(a.startswith("-w") for a in args)
+            has_arb_rot = any(
+                a.startswith("-r") and a not in ("-r0", "-r90", "-r180",
+                                                 "-r270") for a in args)
+            has_geom = has_resize or any(a.startswith("-r") for a in args)
+            b1 = has_gm and has_flip and not has_geom
+            if b1 or has_resize or has_arb_rot:
+                # Float ops carry the documented +-1 f32 budget even on
+                # CPU (and B1 combos diverge by design); byte parity for
+                # them is proven against the f64 golden elsewhere. Here
+                # the target is the PARSER surface: exit + stdout already
+                # compared above.
+                continue
+            assert our_out == ref_out, (args,)
