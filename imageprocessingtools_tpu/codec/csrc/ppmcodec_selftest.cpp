@@ -68,6 +68,28 @@ int main() {
     CHECK(rc != 0, "bad input rejected");
   }
 
+  // Header-int digit bound (quirk-B4 hardening): >9 significant digits
+  // reject; leading zeros don't count toward the bound.
+  {
+    std::string big = "P6\n2 2\n999999999255\n";
+    for (int i = 0; i < 12; ++i) big.push_back('\1');
+    CHECK(ppmx_parse_header(reinterpret_cast<const uint8_t*>(big.data()),
+                            big.size(), &w, &h, &mv, &off) != 0,
+          "12-digit maxval rejected");
+    std::string zeros = "P6\n2 2\n0000000000255\n";
+    for (int i = 0; i < 12; ++i) zeros.push_back('\1');
+    CHECK(ppmx_parse_header(reinterpret_cast<const uint8_t*>(zeros.data()),
+                            zeros.size(), &w, &h, &mv, &off) == 0 &&
+              mv == 255,
+          "leading zeros don't count toward the digit bound");
+    std::string nine = "P6\n2 2\n999999999\n";
+    for (int i = 0; i < 12; ++i) nine.push_back('\1');
+    CHECK(ppmx_parse_header(reinterpret_cast<const uint8_t*>(nine.data()),
+                            nine.size(), &w, &h, &mv, &off) == 0 &&
+              mv == 999999999u,
+          "9-digit boundary accepted exactly");
+  }
+
   // Batched decode round trip.
   std::vector<std::string> files;
   std::vector<const uint8_t*> ptrs;
