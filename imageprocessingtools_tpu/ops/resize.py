@@ -84,6 +84,15 @@ def _apply_pass(img: jnp.ndarray, weight: jnp.ndarray, dim: int) -> jnp.ndarray:
 # approaches parity on big upscales (13.0 vs 14.0 ms at 4K->7680).
 # f32 sums over the extra zeros are exact, so banded and dense agree except
 # for MXU accumulation-order ulps — both inside the documented +-1 budget.
+#
+# Also measured and REJECTED (same-run A/B at 4K->1920 on the chip): a
+# two-level int8 weight split (w ~ q1/64 + q2/8192, exact int32 MXU dots —
+# the Pallas rotation kernel's scheme) ran 9.41 ms vs 6.69 for the f32
+# HIGH einsum: the (x-128)->int8 recentering cast, the two separate dots,
+# and the i32 h-combine on the full output cost more than the int8 MXU
+# rate saves. It also carries a +-2 budget (its ~0.1-LSB per-pass weight
+# error flips ~2% of pass-1 roundings, which the second pass can amplify),
+# so it lost on both axes and was removed.
 # ---------------------------------------------------------------------------
 
 _BAND_GROUP = 32  # output rows per block: band stays small, M-dim utilization ok
