@@ -27,6 +27,7 @@ constexpr int kErrMaxval = -5;
 constexpr int kErrShort = -6;     // "Error: unexpected end of file."
 constexpr int kErrTrailer = -7;   // "file format error"
 constexpr int kErrDims = -8;      // batch: image dims mismatch
+constexpr int kErrDigits = -9;    // >9-digit-char header int (quirk-B4 bound)
 
 struct Lexer {
   const uint8_t* data;
@@ -70,19 +71,20 @@ struct Lexer {
     }
     if (!eof && is_digit(cur)) {
       uint64_t v = 0;
-      int significant = 0;
+      int nchars = 0;
       while (!eof && is_digit(cur)) {
-        if (!(v == 0 && cur == '0')) ++significant;  // skip leading zeros
-        if (significant <= 9) {
+        if (++nchars <= 9) {
           v = v * 10 + static_cast<uint64_t>(cur - '0');
         }
         if (!next_char()) return kErrTrailer;
       }
       // Quirk-B4 hardening, identical to the Python lexer: the reference's
-      // 10-byte token buffer overflows (UB) at >= 10 significant digits, so
-      // <= 9 digits is its entire defined domain. Reject cleanly (and never
-      // hand a value that could truncate at the uint32 ABI to the caller).
-      if (significant > 9) return kErrMagic;
+      // 10-byte token buffer counts raw digit CHARS (leading zeros
+      // included) and overflows (UB) at >= 10, so <= 9 chars is its
+      // entire UB-free domain. Reject cleanly with a dedicated code so the
+      // caller does not remap it to a positional message (and never hand a
+      // value that could truncate at the uint32 ABI to the caller).
+      if (nchars > 9) return kErrDigits;
       *out = v;
       return 0;
     }
@@ -112,12 +114,16 @@ int ppmx_parse_header(const uint8_t* data, size_t size, uint32_t* w,
   Lexer lex{data, size};
   uint64_t v = 0;
   int k = lex.next_token(&v);
+  if (k == kErrDigits) return kErrDigits;
   if (k < 0) return kErrToken;
   if (k != 1) return kErrMagic;
   uint64_t w64 = 0, h64 = 0;
-  if (lex.next_token(&w64) != 0) return kErrWidth;
-  if (lex.next_token(&h64) != 0) return kErrHeight;
-  if (lex.next_token(&v) != 0) return kErrMaxval;
+  int rc = lex.next_token(&w64);
+  if (rc != 0) return rc == kErrDigits ? kErrDigits : kErrWidth;
+  rc = lex.next_token(&h64);
+  if (rc != 0) return rc == kErrDigits ? kErrDigits : kErrHeight;
+  rc = lex.next_token(&v);
+  if (rc != 0) return rc == kErrDigits ? kErrDigits : kErrMaxval;
   *maxval = static_cast<uint32_t>(v);
   *offset = lex.pos;
   // Dimensions past 2^30 cannot have a full payload in any real input and

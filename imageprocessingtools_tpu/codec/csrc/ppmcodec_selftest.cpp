@@ -68,26 +68,26 @@ int main() {
     CHECK(rc != 0, "bad input rejected");
   }
 
-  // Header-int digit bound (quirk-B4 hardening): >9 significant digits
-  // reject; leading zeros don't count toward the bound.
+  // Header-int digit bound (quirk-B4 hardening): tokens longer than 9
+  // digit CHARS reject — leading zeros count, exactly like the
+  // reference's raw 10-byte token buffer.
   {
     std::string big = "P6\n2 2\n999999999255\n";
     for (int i = 0; i < 12; ++i) big.push_back('\1');
     CHECK(ppmx_parse_header(reinterpret_cast<const uint8_t*>(big.data()),
-                            big.size(), &w, &h, &mv, &off) != 0,
-          "12-digit maxval rejected");
+                            big.size(), &w, &h, &mv, &off) == -9,
+          "12-char maxval rejected with the dedicated digit code");
     std::string zeros = "P6\n2 2\n0000000000255\n";
     for (int i = 0; i < 12; ++i) zeros.push_back('\1');
     CHECK(ppmx_parse_header(reinterpret_cast<const uint8_t*>(zeros.data()),
-                            zeros.size(), &w, &h, &mv, &off) == 0 &&
-              mv == 255,
-          "leading zeros don't count toward the digit bound");
+                            zeros.size(), &w, &h, &mv, &off) == -9,
+          "13-char leading-zero run rejected (raw chars count)");
     std::string nine = "P6\n2 2\n999999999\n";
     for (int i = 0; i < 12; ++i) nine.push_back('\1');
     CHECK(ppmx_parse_header(reinterpret_cast<const uint8_t*>(nine.data()),
                             nine.size(), &w, &h, &mv, &off) == 0 &&
               mv == 999999999u,
-          "9-digit boundary accepted exactly");
+          "9-char boundary accepted exactly");
   }
 
   // Batched decode round trip.

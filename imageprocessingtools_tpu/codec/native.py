@@ -26,6 +26,7 @@ _ERROR_MESSAGES = {
     -6: "Error: unexpected end of file.\n",
     -7: "file format error\n",
     -8: "error. invalid file format.\n",  # batch dims mismatch
+    -9: "error. invalid file format.\n",  # >9-digit-char header int (B4)
 }
 
 _lock = threading.Lock()

@@ -55,7 +55,6 @@ def main():
 
     from imageprocessingtools_tpu.codec import ppm
     from imageprocessingtools_tpu.cli import main as cli_main
-    from imageprocessingtools_tpu.ops import _exact
 
     _ensure_oracle()
     backend = jax.default_backend()
@@ -75,8 +74,27 @@ def main():
         ("resize_up", small, ["-w400"], 1, None),
         ("rotate_big_xla_then_pallas", big, ["-r33"], 1, 33.0),
         ("rotate_wideblock", big, ["-r164"], 1, 164.0),
-        ("combo", big, ["-w1300", "-r47", "-gray", "-fh"], 1, None),
+        # budget 2: a +-1 in-budget resize divergence feeds the rotation's
+        # bicubic taps (sum |w| ~ 1.56 in 2D), which can legitimately
+        # amplify it to 2 on the final byte.
+        ("combo", big, ["-w1300", "-r47", "-gray", "-fh"], 2, None),
     ]
+
+    # Count ACTUAL successful Pallas-kernel executions (the dispatch can
+    # silently fall back to XLA on a compile failure; the repeat-gate
+    # counter alone does not prove the kernel ran).
+    from imageprocessingtools_tpu.kernels import pallas_rotate as _pr
+
+    pallas_successes = {"n": 0}
+    _orig_rbp = _pr.rotate_blocked_pallas
+
+    def _counting_rbp(image, ang, *a, **k):
+        out = _orig_rbp(image, ang, *a, **k)
+        if out is not None:
+            pallas_successes["n"] += 1
+        return out
+
+    _pr.rotate_blocked_pallas = _counting_rbp
 
     report = {"backend": backend, "cases": {}}
     ok_all = True
@@ -103,10 +121,15 @@ def main():
                     entry[key] = {"ok": bool(ok), "identical": bool(ok)}
                     ok_all &= ok
                     continue
-                # +-1 budget: compare decoded payloads (headers must match).
+                # budget compare: decoded payloads (headers must match).
                 ch, co = ours, c_out
-                hdr_end_c = _payload_off(co)
-                hdr_end_o = _payload_off(ch)
+                try:
+                    hdr_end_c = _payload_off(co)
+                    hdr_end_o = _payload_off(ch)
+                except ValueError as exc:
+                    entry[key] = {"ok": False, "reason": f"bad header: {exc}"}
+                    ok_all = False
+                    continue
                 same_hdr = co[:hdr_end_c] == ch[:hdr_end_o]
                 a = np.frombuffer(co[hdr_end_c:], np.uint8).astype(int)
                 b = np.frombuffer(ch[hdr_end_o:], np.uint8).astype(int)
@@ -123,33 +146,47 @@ def main():
                 }
                 ok_all &= ok
             if angle is not None:
-                # Confirm the second pass went through the Pallas kernel.
-                from imageprocessingtools_tpu.ops import geometry
+                # The second pass must have EXECUTED the Pallas kernel
+                # (not merely been considered by the repeat gate).
+                n_before = report.get("_pallas_runs", 0)
+                n_now = pallas_successes["n"]
+                ran = n_now > n_before
+                report["_pallas_runs"] = n_now
+                report["cases"][name]["pallas_kernel_ran"] = bool(ran)
+                ok_all &= ran
 
-                key = (img.shape[0], img.shape[1], float(angle))
-                report["cases"][name]["pallas_dispatch_count"] = (
-                    geometry._PALLAS_ROTATE_CALLS.get(key, 0)
-                )
-
+    report["pallas_kernel_executions"] = pallas_successes["n"]
+    report.pop("_pallas_runs", None)
     report["ok"] = bool(ok_all)
     print(json.dumps(report, indent=2))
     sys.exit(0 if ok_all else 1)
 
 
 def _payload_off(data: bytes) -> int:
-    """Offset of the binary payload: after magic, dims[, maxval] tokens."""
+    """Offset of the binary payload: after magic, dims[, maxval] tokens.
+
+    Raises ValueError on truncated/unterminated headers instead of
+    scanning past the end (a half-written .out must fail the comparison,
+    not hang the harness).
+    """
     n_tokens = 3 if data.startswith(b"P4") else 4
     i = 0
     seen = 0
     while seen < n_tokens:
         while data[i:i + 1].isspace():
             i += 1
+        if i >= len(data):
+            raise ValueError("truncated header")
         if data[i:i + 1] == b"#":
             while data[i:i + 1] not in (b"\n", b""):
                 i += 1
+            if i >= len(data):
+                raise ValueError("unterminated comment")
             continue
-        while not data[i:i + 1].isspace():
+        while i < len(data) and not data[i:i + 1].isspace():
             i += 1
+        if i >= len(data):
+            raise ValueError("header ends without payload")
         seen += 1
     return i + 1
 

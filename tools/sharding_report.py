@@ -51,23 +51,15 @@ def _inventory(compiled) -> dict:
     txt = compiled.as_text()
     counts = {}
     for name in _COLLECTIVES:
-        n = len(re.findall(rf"\b{name}(?:-start)?\(", txt)) or \
-            len(re.findall(rf"= \S* {name}", txt)) or \
-            txt.count(name + "(")
+        n = len(re.findall(rf"\b{name}(?:-start)?\(", txt))
         if n:
             counts[name] = n
-    # fallback: count op names appearing as "opcode(" in HLO text
-    for name in _COLLECTIVES:
-        if name not in counts:
-            n = txt.count(f" {name}(") + txt.count(f" {name}-start(")
-            if n:
-                counts[name] = n
     return counts
 
 
 def main():
     from imageprocessingtools_tpu.parallel import (
-        batched_fused_pipeline, default_mesh, fused_pipeline_spatial,
+        default_mesh, fused_pipeline_spatial,
     )
     from imageprocessingtools_tpu.parallel.batch import _jitted_vmap
     from imageprocessingtools_tpu.kernels.fused import fused_pipeline_xla
