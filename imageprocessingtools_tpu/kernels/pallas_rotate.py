@@ -34,8 +34,11 @@ Unlike the XLA formulation - whose measured ~52 ms structural floor at
 intermediate ever touches HBM here; per tile the only HBM traffic is the
 uint8 block read and the uint8 tile write.
 
-The kernel compiles per (H, W, angle) like the XLA path. Images whose
-plan doesn't fit (see `_pallas_plan`) fall back to the XLA path.
+The kernel compiles per (H, W, angle) like the XLA path — but in
+MINUTES (Mosaic), vs seconds for XLA, while winning only ~1.3 ms/call at
+4K. `ops.geometry.rotate` therefore dispatches here only under
+IPT_PALLAS_ROTATE=1 (explicit opt-in for long same-geometry services);
+images whose plan doesn't fit fall back to the XLA path regardless.
 """
 
 from __future__ import annotations

@@ -586,26 +586,6 @@ def rotation_decisions_safe(height: int, width: int, angle: float) -> bool:
     return True
 
 
-_PALLAS_ROTATE_CALLS: dict = {}
-
-
-def _pallas_rotate_worthwhile(height: int, width: int, angle: float) -> bool:
-    """True once a geometry repeats in-process (or IPT_PALLAS_ROTATE=1).
-
-    The Mosaic compile costs minutes through this environment's tunnel for
-    a ~1 ms/call steady-state win over the XLA blocked path, so the kernel
-    only pays off for repeated same-geometry rotations (batch loops,
-    benchmarks, services). The first eager call takes the XLA path; from
-    the second on, the Pallas kernel compiles once and serves the rest.
-    """
-    if os.environ.get("IPT_PALLAS_ROTATE"):
-        return True
-    key = (height, width, angle)
-    n = _PALLAS_ROTATE_CALLS.get(key, 0)
-    _PALLAS_ROTATE_CALLS[key] = n + 1
-    return n >= 1
-
-
 def rotate(img: jnp.ndarray, angle_deg: float, strict: bool = False) -> jnp.ndarray:
     """CW rotation by ``angle_deg`` with the reference's exact zone logic.
 
@@ -627,19 +607,20 @@ def rotate(img: jnp.ndarray, angle_deg: float, strict: bool = False) -> jnp.ndar
     if strict and not rotation_decisions_safe(img.shape[0], img.shape[1], angle):
         return jnp.asarray(rotate_exact(img, angle))
     if (
-        jax.default_backend() == "tpu"
+        os.environ.get("IPT_PALLAS_ROTATE")
+        and jax.default_backend() == "tpu"
         and not isinstance(img, jax.core.Tracer)
         and img.shape[0] * img.shape[1] >= 1_500_000
-        and not os.environ.get("IPT_NO_PALLAS_ROTATE")
-        and _pallas_rotate_worthwhile(img.shape[0], img.shape[1], angle)
     ):
         # Per-tile-DMA Pallas kernel (same zone semantics and +-1 budget,
-        # tighter interior quantization). Tracer inputs (vmap/jit of the
-        # caller) and unfit plans stay on the XLA blocked path. The size
-        # gate keeps minutes-scale Mosaic compiles off small images where
-        # the XLA path is already sub-10 ms; the repeat gate keeps them
-        # off one-shot CLI runs where a minutes-scale compile can never
-        # amortize its ~1 ms/call steady-state win.
+        # tighter interior quantization), OPT-IN via IPT_PALLAS_ROTATE=1.
+        # It beats the XLA blocked path by only ~1.3 ms/call at 4K
+        # (57.0 vs 58.3 same-run) while its per-geometry Mosaic compile
+        # costs minutes — break-even is ~10^5 same-geometry calls — so a
+        # default dispatch would tax every CLI/serving user for a win
+        # almost nobody reaches. Long-running same-geometry services can
+        # opt in; tracer inputs (vmap/jit of the caller), sub-1.5 MPix
+        # images, and unfit plans stay on the XLA path regardless.
         from imageprocessingtools_tpu.kernels.pallas_rotate import (
             rotate_blocked_pallas,
         )

@@ -186,18 +186,33 @@ class TestPallasRotate:
         assert rotate_blocked_pallas(tiny, 30.0) is None
 
 
-def test_pallas_dispatch_repeat_gate(monkeypatch):
-    """The Pallas dispatch is gated on a REPEATED geometry: a one-shot CLI
-    rotation must never pay the minutes-scale Mosaic compile; the second
-    same-geometry call (batch loops, services) opts in. IPT_PALLAS_ROTATE=1
-    forces it on."""
-    monkeypatch.setattr(geometry, "_PALLAS_ROTATE_CALLS", {})
+def test_pallas_dispatch_is_opt_in(monkeypatch):
+    """The Pallas rotation dispatch requires IPT_PALLAS_ROTATE=1: its
+    ~1.3 ms/call win over XLA cannot amortize a minutes-scale Mosaic
+    compile for ordinary CLI/serving use, so nobody pays it by default.
+    When opted in, the kernel must actually be invoked for a qualifying
+    eager call (verified via a counting stub)."""
+    from imageprocessingtools_tpu.kernels import pallas_rotate
+
+    monkeypatch.setattr(
+        geometry.jax, "default_backend", lambda: "tpu", raising=True)
+    calls = []
+
+    def stub(image, ang, *a, **k):
+        calls.append(ang)
+        return None  # "unfit" -> falls through to the XLA path
+
+    monkeypatch.setattr(pallas_rotate, "rotate_blocked_pallas", stub)
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, size=(1200, 1400, 3), dtype=np.uint8)
+
     monkeypatch.delenv("IPT_PALLAS_ROTATE", raising=False)
-    assert geometry._pallas_rotate_worthwhile(2160, 3840, 30.0) is False
-    assert geometry._pallas_rotate_worthwhile(2160, 3840, 30.0) is True
-    assert geometry._pallas_rotate_worthwhile(2160, 3840, 31.0) is False
+    geometry.rotate(img, 33.0)
+    assert calls == []          # default: never dispatched
+
     monkeypatch.setenv("IPT_PALLAS_ROTATE", "1")
-    assert geometry._pallas_rotate_worthwhile(1080, 1920, 45.0) is True
+    geometry.rotate(img, 33.0)
+    assert calls == [33.0]      # opted in: dispatched on the first call
 
 
 def test_pallas_dispatch_falls_back_on_kernel_error(monkeypatch):
@@ -205,7 +220,6 @@ def test_pallas_dispatch_falls_back_on_kernel_error(monkeypatch):
     the XLA blocked path (with a logged event), never crash the caller."""
     from imageprocessingtools_tpu.kernels import pallas_rotate
 
-    monkeypatch.setattr(geometry, "_PALLAS_ROTATE_CALLS", {})
     monkeypatch.setenv("IPT_PALLAS_ROTATE", "1")
     monkeypatch.setattr(
         geometry.jax, "default_backend", lambda: "tpu", raising=True)

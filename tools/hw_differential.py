@@ -6,9 +6,11 @@ budgets: byte-identical for exact ops (flips, gray, mono, rot90/180/270,
 r0), +-1 LSB for resize and arbitrary rotation (f32/device numerics), with
 rotation zone pixels (edge/outside) exact.
 
-Each arbitrary-rotation case runs TWICE so the second pass exercises the
-Pallas per-tile-DMA kernel through the production repeat-gate dispatch
-(geometry._pallas_rotate_worthwhile) when the image clears 1.5 MPix.
+Each arbitrary-rotation case runs TWICE: pass 0 on the default XLA
+blocked path, pass 1 with IPT_PALLAS_ROTATE=1 so the opt-in Pallas
+per-tile-DMA kernel carries the production dispatch (the image clears
+the 1.5 MPix gate); actual kernel executions are counted — a silent
+fallback fails the run.
 
     python tools/hw_differential.py          # on the chip
 """
@@ -107,7 +109,14 @@ def main():
                 path = os.path.join(td, f"ours{p}.ppm")
                 with open(path, "wb") as f:
                     f.write(img_bytes)
-                code = cli_main(flags + [path])
+                if p == 1:
+                    os.environ["IPT_PALLAS_ROTATE"] = "1"
+                else:
+                    os.environ.pop("IPT_PALLAS_ROTATE", None)
+                try:
+                    code = cli_main(flags + [path])
+                finally:
+                    os.environ.pop("IPT_PALLAS_ROTATE", None)
                 with open(path + ".out", "rb") as f:
                     ours = f.read()
                 entry = report["cases"].setdefault(name, {})
