@@ -126,9 +126,8 @@ def main() -> None:
         "mpix_per_s_4k": round(img4k.shape[0] * img4k.shape[1] / sec / 1e6, 1),
     }
 
-    # 6b. Same op through the Pallas per-tile-DMA kernel (the eager-path
-    # dispatch target for repeated >=1.5 MPix geometries); parity at 1080p,
-    # rate at 4K.
+    # 6b. Same op through the Pallas per-tile-DMA kernel (the opt-in
+    # IPT_PALLAS_ROTATE=1 dispatch target); parity at 1080p, rate at 4K.
     from imageprocessingtools_tpu.kernels.pallas_rotate import (
         rotate_blocked_pallas,
     )
