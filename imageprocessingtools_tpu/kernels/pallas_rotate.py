@@ -329,6 +329,19 @@ def _build_call(n_g, n_k, bh_al, bwp, bwc, width, height, xc, yc, nch,
     return jax.jit(call)
 
 
+def pallas_profitable(height: int, width: int, angle: float) -> bool:
+    """True when the kernel is expected to BEAT the XLA blocked path.
+
+    Measured across angle regimes at 4K (same-run): bwp=128 plans win
+    (1.02-1.12x: 57.1 vs 58.4 ms at 30deg, 63.8 vs 71.3 at 60deg, 47.2 vs
+    48.7 at 100deg) but bwp=256 wide-block plans LOSE (0.85x: 51.1 vs
+    43.5 ms at 170deg — the doubled dot K is mostly zero rows). The
+    dispatch only routes here for fitting, narrow-block geometries.
+    """
+    plan = _pallas_plan(height, width, float(angle), _TILE_G, _TILE_L)
+    return plan is not None and plan[3] == 128
+
+
 def rotate_blocked_pallas(img, angle: float, interpret: bool | None = None):
     """Pallas form of the blocked rotation; None if the plan doesn't fit.
 

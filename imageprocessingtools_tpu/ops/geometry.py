@@ -622,11 +622,16 @@ def rotate(img: jnp.ndarray, angle_deg: float, strict: bool = False) -> jnp.ndar
         # opt in; tracer inputs (vmap/jit of the caller), sub-1.5 MPix
         # images, and unfit plans stay on the XLA path regardless.
         from imageprocessingtools_tpu.kernels.pallas_rotate import (
+            pallas_profitable,
             rotate_blocked_pallas,
         )
 
         try:
-            pallas_out = rotate_blocked_pallas(img, angle)
+            pallas_out = (
+                rotate_blocked_pallas(img, angle)
+                if pallas_profitable(img.shape[0], img.shape[1], angle)
+                else None
+            )
         except Exception as exc:  # pragma: no cover - hardware-specific
             # Mosaic has shipped silent shape-dependent limitations before
             # (see CLAUDE.md lore); an unforeseen compile failure on a new

@@ -234,3 +234,18 @@ def test_pallas_dispatch_falls_back_on_kernel_error(monkeypatch):
     exp = golden.rotate(img, 33.0)
     assert out.shape == exp.shape
     assert np.abs(out.astype(np.int64) - exp.astype(np.int64)).max() <= 1
+
+
+def test_pallas_profitability_gate():
+    """The dispatch only routes narrow-block (bwp=128) plans to the Pallas
+    kernel: wide-block angles measured SLOWER than XLA (0.85x at 4K/170deg
+    — the K=256 dot is mostly zero rows), so they stay on the XLA path
+    even when opted in."""
+    from imageprocessingtools_tpu.kernels.pallas_rotate import (
+        _pallas_plan, pallas_profitable)
+
+    assert pallas_profitable(2160, 3840, 30.0)        # bwp=128 regime
+    plan170 = _pallas_plan(2160, 3840, 170.0, 16, 128)
+    assert plan170 is not None and plan170[3] == 256  # fits, but wide
+    assert not pallas_profitable(2160, 3840, 170.0)
+    assert not pallas_profitable(40, 40, 30.0)        # unfit plan
