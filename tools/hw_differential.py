@@ -155,14 +155,24 @@ def main():
                 }
                 ok_all &= ok
             if angle is not None:
-                # The second pass must have EXECUTED the Pallas kernel
-                # (not merely been considered by the repeat gate).
+                # Where the profitability gate routes this geometry to the
+                # Pallas kernel, the second pass must have EXECUTED it (a
+                # silent fallback fails the run). Wide-block geometries
+                # are EXPECTED to stay on XLA even when opted in.
+                from imageprocessingtools_tpu.kernels.pallas_rotate import (
+                    pallas_profitable,
+                )
+
+                expect = pallas_profitable(
+                    img.shape[0], img.shape[1], float(angle))
                 n_before = report.get("_pallas_runs", 0)
                 n_now = pallas_successes["n"]
                 ran = n_now > n_before
                 report["_pallas_runs"] = n_now
-                report["cases"][name]["pallas_kernel_ran"] = bool(ran)
-                ok_all &= ran
+                case_rep = report["cases"][name]
+                case_rep["pallas_expected"] = bool(expect)
+                case_rep["pallas_kernel_ran"] = bool(ran)
+                ok_all &= (ran == expect)
 
     report["pallas_kernel_executions"] = pallas_successes["n"]
     report.pop("_pallas_runs", None)
