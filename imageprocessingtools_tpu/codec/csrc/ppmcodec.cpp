@@ -113,17 +113,27 @@ int ppmx_parse_header(const uint8_t* data, size_t size, uint32_t* w,
                       uint32_t* h, uint32_t* maxval, size_t* offset) {
   Lexer lex{data, size};
   uint64_t v = 0;
+  // Message-parity contract (matches codec/ppm.py::_parse_header exactly):
+  // at the MAGIC position every lexer failure — token error, unterminated
+  // comment (kErrTrailer), >9-digit bound (kErrDigits) — is remapped to the
+  // token-error message (the Python parser catches-and-remaps there); at
+  // width/height/maxval positions lexer failures keep their OWN messages
+  // and only a wrong-KIND token (word where a uint is required) maps to the
+  // positional message, mirroring the reference's CHECK_ERROR structure
+  // (ppmx-edward.c:416-438).
   int k = lex.next_token(&v);
-  if (k == kErrDigits) return kErrDigits;
   if (k < 0) return kErrToken;
   if (k != 1) return kErrMagic;
   uint64_t w64 = 0, h64 = 0;
   int rc = lex.next_token(&w64);
-  if (rc != 0) return rc == kErrDigits ? kErrDigits : kErrWidth;
+  if (rc < 0) return rc;
+  if (rc != 0) return kErrWidth;
   rc = lex.next_token(&h64);
-  if (rc != 0) return rc == kErrDigits ? kErrDigits : kErrHeight;
+  if (rc < 0) return rc;
+  if (rc != 0) return kErrHeight;
   rc = lex.next_token(&v);
-  if (rc != 0) return rc == kErrDigits ? kErrDigits : kErrMaxval;
+  if (rc < 0) return rc;
+  if (rc != 0) return kErrMaxval;
   *maxval = static_cast<uint32_t>(v);
   *offset = lex.pos;
   // Dimensions past 2^30 cannot have a full payload in any real input and

@@ -298,10 +298,9 @@ def histogram_pallas(gray: jnp.ndarray, block_rows: int | None = None):
     if not _interpret():
         from imageprocessingtools_tpu.ops.histogram import histogram as _xla_hist
 
-        if gray.shape[0] * gray.shape[1] >= 2**24:
-            raise ValueError(
-                "histogram_pallas requires H*W < 2^24; use ops.histogram"
-            )
+        # The XLA op chunks internally for huge images, so the hardware
+        # fallback is a drop-in at ANY size (it used to raise for
+        # H*W >= 2^24, which broke the drop-in contract for e.g. 4096^2).
         return _xla_hist(gray)
     if gray.shape[0] * gray.shape[1] >= 2**24:
         raise ValueError(

@@ -85,11 +85,13 @@ def _round_up(x: int, m: int) -> int:
 @functools.lru_cache(maxsize=32)
 def _pallas_plan(height: int, width: int, angle: float, G: int, L: int):
     """Host-side plan: the XLA blocked plan + DMA alignment. None if unfit."""
-    # None-normalize default G/L so the cache entry is shared with the XLA
-    # path's 3-arg _blocked_plan calls instead of duplicating the f64 work.
-    plan = _g._blocked_plan(
-        height, width, angle,
-        None if G == _g._BLOCK_G else G, None if L == _g._BLOCK_L else L)
+    # Default G/L call the 3-arg form so the lru_cache entry is GENUINELY
+    # shared with the XLA path (lru_cache keys on the exact argument tuple:
+    # (h, w, a, None, None) and (h, w, a) would be distinct entries).
+    if G == _g._BLOCK_G and L == _g._BLOCK_L:
+        plan = _g._blocked_plan(height, width, angle)
+    else:
+        plan = _g._blocked_plan(height, width, angle, G, L)
     if plan is None:
         return None
     new_h, new_w, bh, bw, n_g, n_k, splits, sy, sx, xc, yc = plan

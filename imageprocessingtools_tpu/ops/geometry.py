@@ -607,7 +607,7 @@ def rotate(img: jnp.ndarray, angle_deg: float, strict: bool = False) -> jnp.ndar
     if strict and not rotation_decisions_safe(img.shape[0], img.shape[1], angle):
         return jnp.asarray(rotate_exact(img, angle))
     if (
-        os.environ.get("IPT_PALLAS_ROTATE")
+        os.environ.get("IPT_PALLAS_ROTATE") == "1"
         and jax.default_backend() == "tpu"
         and not isinstance(img, jax.core.Tracer)
         and img.shape[0] * img.shape[1] >= 1_500_000

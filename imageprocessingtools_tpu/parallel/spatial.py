@@ -6,9 +6,23 @@ halo, exchanged with `lax.ppermute` over ICI; global-boundary shards
 replicate their own edge rows (matching `ops.stencil.gaussian_blur`'s
 replicate padding bit-exactly); the histogram is a local bincount reduced
 with `lax.psum`. Output equals the single-device fused pipeline exactly.
+
+`resize_width_spatial` extends the same design to the reference bicubic
+resize (survey §5's remaining deliverable): the H-pass weight matmul
+contracts over the sharded dim, so instead of letting GSPMD all-reduce the
+FULL resized output across the mesh (O(outH*W) bytes/device), each shard
+exchanges only the halo rows its taps actually reach — computed exactly
+from the contributions index range (`ops/_exact.calc_contributions`, ref
+``ppmx-edward.c:563,587-589``) — with `lax.ppermute`, then applies its own
+[outH/n, local+halo] weight block locally on the MXU. O(taps*W)
+bytes/device on the wire, identical math to the single-device op.
 """
 
 from __future__ import annotations
+
+import functools
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -16,7 +30,9 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
+from imageprocessingtools_tpu.ops import _exact
 from imageprocessingtools_tpu.ops.color import grayscale
+from imageprocessingtools_tpu.ops.common import quantize_u8
 from imageprocessingtools_tpu.ops.histogram import _equalize_lut, apply_lut, histogram
 
 
@@ -102,3 +118,164 @@ def fused_pipeline_spatial(
         out_shardings=NamedSharding(mesh, P(axis_name)),
     )
     return fn(img)
+
+
+# ---------------------------------------------------------------------------
+# Halo-exchange spatial RESIZE (survey §5's contributions-derived halo).
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def _spatial_resize_plan(height: int, width: int, new_width: int, n: int):
+    """Host f64 plan for the H-sharded resize over ``n`` shards.
+
+    Returns ``(new_height, passes)`` where each pass is
+    ``("w", W_w f32[outW, W], 0, 0)`` (fully local — W is unsharded) or
+    ``("h", Wb f32[outH, halo_top + H/n + halo_bot], halo_top, halo_bot)``
+    whose rows ``[i*outH/n, (i+1)*outH/n)`` are shard i's weight block over
+    its local rows plus the exchanged halo. The halo row counts are EXACT:
+    the max over shards of how far the contributions tap indices
+    (mirror-reflected, antialias-widened on downscale — ref
+    ``ppmx-edward.c:563,587-589``) overhang the shard's local row range.
+
+    Returns None when this layout cannot apply: H or new_height not
+    divisible by n, or a halo deeper than one shard (extreme downscale vs
+    shard height — would need multi-hop exchange); callers fall back to
+    GSPMD then.
+    """
+    plan = _exact.plan_resize(height, width, new_width)
+    if height % n or plan.new_height % n:
+        return None
+    local_h = height // n
+    out_local = plan.new_height // n
+    passes = []
+    for dim, contrib in plan.passes:
+        if dim == 1:
+            passes.append(
+                ("w", _exact.dense_weights(contrib, width).astype(np.float32),
+                 0, 0))
+            continue
+        idx = contrib.indices                      # [outH, taps], in [0, H)
+        halo_top = 0
+        halo_bot = 0
+        for i in range(n):
+            rows = idx[i * out_local : (i + 1) * out_local]
+            halo_top = max(halo_top, i * local_h - int(rows.min()))
+            halo_bot = max(halo_bot, int(rows.max()) - ((i + 1) * local_h - 1))
+        if halo_top > local_h or halo_bot > local_h:
+            return None                            # would need multi-hop
+        dense = _exact.dense_weights(contrib, height)      # f64 [outH, H]
+        k = halo_top + local_h + halo_bot
+        wb = np.zeros((plan.new_height, k), np.float64)
+        for i in range(n):
+            r0, r1 = i * out_local, (i + 1) * out_local
+            c0 = i * local_h - halo_top            # global col of block col 0
+            lo, hi = max(0, c0), min(height, c0 + k)
+            # Cols outside [0, H) stay zero; they only exist because the
+            # halo depth is the max over shards (a boundary shard's own
+            # taps never reach them), and ppermute hands boundary shards
+            # zeros for the missing neighbor — zero weight x zero data.
+            wb[r0:r1, lo - c0 : hi - c0] = dense[r0:r1, lo:hi]
+        passes.append(("h", wb.astype(np.float32), halo_top, halo_bot))
+    return plan.new_height, tuple(passes)
+
+
+def _exchange_rows_asym(tile, top: int, bot: int, axis_name: str):
+    """[top-halo | tile | bot-halo] along H inside shard_map.
+
+    Halo rows ride ICI via ppermute in the image's uint8 dtype (4x fewer
+    bytes than post-cast f32). Boundary shards receive ppermute's zero
+    fill for the missing neighbor; their weight-block columns there are
+    zero, so the product is unaffected (no masking needed).
+    """
+    n = lax.axis_size(axis_name)
+    parts = []
+    if top:
+        parts.append(lax.ppermute(
+            tile[-top:], axis_name, perm=[(i, i + 1) for i in range(n - 1)]))
+    parts.append(tile)
+    if bot:
+        parts.append(lax.ppermute(
+            tile[:bot], axis_name, perm=[(i + 1, i) for i in range(n - 1)]))
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else tile
+
+
+def _resize_local_fn(passes_meta, axis_name):
+    """Build the per-shard resize body; weight arrays arrive as args."""
+
+    def local_fn(tile, *weights):               # tile uint8[H/n, W, C]
+        out = tile
+        for (kind, _, top, bot), wt in zip(passes_meta, weights):
+            if kind == "h":
+                padded = _exchange_rows_asym(out, top, bot, axis_name)
+                acc = jnp.einsum(
+                    "oh,hwc->owc", wt, padded.astype(jnp.float32),
+                    precision=jax.lax.Precision.HIGH,
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                acc = jnp.einsum(
+                    "ow,hwc->hoc", wt, out.astype(jnp.float32),
+                    precision=jax.lax.Precision.HIGH,
+                    preferred_element_type=jnp.float32,
+                )
+            # The reference requantizes to uint8 BETWEEN passes (B6 order).
+            out = quantize_u8(acc)
+        return out
+
+    return local_fn
+
+
+def resize_width_spatial(
+    img: jnp.ndarray, new_width: int, mesh: Mesh, axis_name: str | None = None
+) -> jnp.ndarray:
+    """``ops.resize_width`` for ONE giant H-sharded image, halo-exchange form.
+
+    Same math as the single-device op (dense f64-planned weights, MXU
+    matmuls at Precision.HIGH, uint8 requantization between passes, B6 pass
+    order) — but the H-pass contraction over the sharded dim is resolved by
+    a contributions-derived `ppermute` halo exchange instead of GSPMD's
+    full-output all-reduce: O(halo*W) bytes/device on the wire instead of
+    O(outH*W). Falls back to the GSPMD form when the halo layout cannot
+    apply (non-divisible dims or halo deeper than one shard).
+    """
+    if axis_name is None:
+        axis_name = next(iter(mesh.shape))
+    n = mesh.shape[axis_name]
+    height, width = int(img.shape[0]), int(img.shape[1])
+    squeeze = img.ndim == 2
+    plan = _spatial_resize_plan(height, width, int(new_width), n)
+    sharding = NamedSharding(mesh, P(axis_name))
+    if plan is None:
+        from imageprocessingtools_tpu.ops.resize import resize_width
+
+        # GSPMD decides the output layout itself (outH may not divide the
+        # mesh — e.g. a truncated B6 height — so it cannot be forced).
+        return jax.jit(
+            lambda x: resize_width(x, int(new_width)), in_shardings=sharding,
+        )(img)
+    _, passes = plan
+    passes_meta = tuple((k, None, t, b) for k, _, t, b in passes)
+    weight_specs = tuple(P(axis_name) if k == "h" else P() for k, *_ in passes)
+
+    body = _resize_local_fn(passes_meta, axis_name)
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis_name),) + weight_specs,
+        out_specs=P(axis_name),
+    )
+    img3 = img[:, :, None] if squeeze else img
+    weight_arrays = tuple(
+        jax.device_put(
+            jnp.asarray(w),
+            NamedSharding(mesh, P(axis_name) if k == "h" else P()))
+        for k, w, *_ in passes)
+    fn = jax.jit(
+        sharded,
+        in_shardings=(sharding,) + tuple(
+            NamedSharding(mesh, P(axis_name) if k == "h" else P())
+            for k, *_ in passes),
+        out_shardings=sharding,
+    )
+    out = fn(img3, *weight_arrays)
+    return out[:, :, 0] if squeeze else out

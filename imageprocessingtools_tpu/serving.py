@@ -121,8 +121,26 @@ def process_file_spatial(
                       max_color=maxval)
         return out_path
 
-    one = _pipeline_fn(config)
-    out = jax.jit(one, in_shardings=sharding)(img_d)
+    if config.new_width is not None and n_use > 1:
+        # Resize stage via the halo-exchange shard_map path (ppermute of
+        # contributions-derived halo rows; GSPMD inside only as fallback),
+        # then the remaining ops under GSPMD on the resharded result.
+        import dataclasses
+
+        from imageprocessingtools_tpu.parallel.spatial import (
+            resize_width_spatial,
+        )
+
+        img_d = resize_width_spatial(img_d, int(config.new_width), mesh)
+        rest = dataclasses.replace(config, new_width=None)
+        if rest.any_op:  # covers mono (P4 packing happens in _pipeline_fn)
+            one = _pipeline_fn(rest)
+            out = jax.jit(one)(img_d)
+        else:
+            out = img_d
+    else:
+        one = _pipeline_fn(config)
+        out = jax.jit(one, in_shardings=sharding)(img_d)
     out_np = np.asarray(out)
     if config.file_type == FILETYPE_PBM:
         unpacked = jax.eval_shape(

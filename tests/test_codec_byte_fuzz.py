@@ -51,16 +51,16 @@ def _py_decode(data):
     try:
         img, maxval = ppm.decode_ppm(data)
         return ("ok", np.asarray(img).tobytes(), int(maxval))
-    except ppm.PPMError:
-        return ("err", None, None)
+    except ppm.PPMError as e:
+        return ("err", str(e), None)
 
 
 def _native_decode(data):
     try:
         batch, maxval = native.decode_batch([data])
         return ("ok", np.asarray(batch[0]).tobytes(), int(maxval))
-    except ppm.PPMError:
-        return ("err", None, None)
+    except ppm.PPMError as e:
+        return ("err", str(e), None)
 
 
 @pytest.mark.parametrize("batch", range(10))
@@ -82,8 +82,9 @@ def test_byte_corruption_fuzz(ref_runner, batch):
         if native.available():
             nat = _native_decode(data)           # 2: codecs agree
             assert nat[0] == py[0], (batch, case)
-            if py[0] == "ok":
-                assert nat[1] == py[1] and nat[2] == py[2], (batch, case)
+            # Same decision AND same message/bytes: rejects must carry the
+            # identical reference error string on both sides.
+            assert nat[1] == py[1] and nat[2] == py[2], (batch, case)
 
         if py[0] == "ok":                        # 3: C binary agrees on accepts
             n_acc += 1
@@ -128,3 +129,38 @@ def test_header_int_digit_bound():
     if native.available():
         assert native.parse_header(ok9)[2] == 999999999
         assert native.parse_header(ok0)[2] == 255
+
+
+def test_lexer_error_message_corners():
+    """Positional message-mapping corners (found by the round-2 advisor):
+    the native parser must keep lexer-failure messages (token error,
+    unterminated comment, digit bound) at width/height/maxval positions
+    instead of remapping them to positional messages, and must remap ALL
+    lexer failures at the magic position to the token error, exactly as
+    codec/ppm.py::_parse_header does."""
+    img = make_image(2, 2, seed=1)
+    payload = img.tobytes()
+    cases = [
+        # >9 digits at the MAGIC position: Python catches the digit-bound
+        # error there and remaps to the token error.
+        b"P5 " * 0 + b"1234567890 2 2 255\n" + payload,
+        # digits running into an unterminated comment at the width position
+        b"P6 12#no-newline",
+        # >9-digit width directly at EOF
+        b"P6 1234567890",
+        # punctuation at the width position -> token error, not positional
+        b"P6 !2 2 255\n" + payload,
+        # word at the width position -> positional width message
+        b"P6 abc 2 255\n" + payload,
+        # unterminated comment immediately after the magic's extra char
+        b"P6#no-newline",
+        # unterminated comment between height and maxval
+        b"P6 2 2 #oops",
+    ]
+    for data in cases:
+        with pytest.raises(ppm.PPMError) as ei:
+            ppm.decode_ppm(data)
+        if native.available():
+            with pytest.raises(ppm.PPMError) as ein:
+                native.parse_header(data)
+            assert str(ein.value) == str(ei.value), data

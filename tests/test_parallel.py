@@ -79,3 +79,74 @@ def test_spatial_bad_shard_count():
     mesh = Mesh(np.asarray(jax.devices()[:4]), ("sp",))
     with pytest.raises(ValueError, match="divisible"):
         fused_pipeline_spatial(img, mesh)
+
+
+# ---------------------------------------------------------------------------
+# Halo-exchange spatial resize (contributions-derived halo; survey §5).
+# ---------------------------------------------------------------------------
+
+from imageprocessingtools_tpu.parallel.spatial import (  # noqa: E402
+    _spatial_resize_plan,
+    resize_width_spatial,
+)
+
+
+def _sharded(img, mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.device_put(img, NamedSharding(mesh, P("sp")))
+
+
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+@pytest.mark.parametrize(
+    "shape",
+    [
+        (64, 96, 48),    # downscale: antialias-widened taps
+        (64, 96, 192),   # upscale
+        (128, 50, 200),  # W-pass first order
+        (64, 96, 96),    # identity scale
+    ],
+)
+def test_spatial_resize_bit_identical(n_shards, shape):
+    """Halo-exchange H-sharded resize == single-device op, BIT-identical."""
+    h, w, nw = shape
+    img = make_image(h, w, seed=n_shards)
+    mesh = Mesh(np.asarray(jax.devices()[:n_shards]), ("sp",))
+    # The halo plan must actually apply (this test is about the halo path).
+    assert _spatial_resize_plan(h, w, nw, n_shards) is not None
+    out = np.asarray(resize_width_spatial(_sharded(img, mesh), nw, mesh))
+    ref = np.asarray(ipt.resize_width(img, nw))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_spatial_resize_halo_rows_exact():
+    """The planned halo depth equals the contributions-index overhang."""
+    plan = _spatial_resize_plan(64, 96, 48, 4)
+    assert plan is not None
+    _, passes = plan
+    kinds = [p[0] for p in passes]
+    assert "h" in kinds and "w" in kinds
+    for kind, _, top, bot in passes:
+        if kind == "h":
+            # 2:1 downscale: kernel width 8 -> taps reach ~4 rows past the
+            # shard boundary at most; halos must be small, nonzero, and
+            # bounded by the analytic support ceil(4/scale)+2.
+            assert 0 < top <= 6 and 0 < bot <= 6
+        else:
+            assert top == 0 and bot == 0
+
+
+def test_spatial_resize_gspmd_fallback_exact():
+    """Non-divisible truncated output height falls back to GSPMD, same bytes."""
+    img = make_image(48, 64, seed=3)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("sp",))
+    assert _spatial_resize_plan(48, 64, 21, 4) is None  # outH 15 not divisible
+    out = np.asarray(resize_width_spatial(_sharded(img, mesh), 21, mesh))
+    np.testing.assert_array_equal(out, np.asarray(ipt.resize_width(img, 21)))
+
+
+def test_spatial_resize_2d_gray_input():
+    img = make_image(32, 48, seed=5)[:, :, 0]
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("sp",))
+    out = np.asarray(resize_width_spatial(_sharded(img, mesh), 24, mesh))
+    np.testing.assert_array_equal(out, np.asarray(ipt.resize_width(img, 24)))
