@@ -392,11 +392,13 @@ def _blocked_plan(height: int, width: int, angle: float,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("new_h", "new_w", "bh", "bw", "n_g", "n_k")
+    jax.jit,
+    static_argnames=("new_h", "new_w", "bh", "bw", "n_g", "n_k", "G", "L"),
 )
 def _rotate_apply_blocked(
     img, axh, axl, bxh, bxl, ayh, ayl, byh, byl, sy, sx, xc, yc,
     *, new_h: int, new_w: int, bh: int, bw: int, n_g: int, n_k: int,
+    G: int = _BLOCK_G, L: int = _BLOCK_L,
 ):
     """Device side of the blocked path (see module comment above).
 
@@ -408,7 +410,6 @@ def _rotate_apply_blocked(
     if squeeze:
         img = img[:, :, None]
     height, width, nch = img.shape
-    G, L = _BLOCK_G, _BLOCK_L
     P = G * L
     planes = jnp.stack([img[:, :, c] for c in range(nch)], axis=0)  # [C,H,W]
     col_iota = jnp.arange(bw, dtype=jnp.int32)[:, None]
@@ -464,14 +465,22 @@ def _rotate_apply_blocked(
     return out[:, :, 0] if squeeze else out
 
 
-def _rotate_blocked(img, angle: float):
-    """Blocked-path dispatch; returns None when the plan doesn't apply."""
-    plan = _blocked_plan(img.shape[0], img.shape[1], angle)
+def _rotate_blocked(img, angle: float, G: int | None = None, L: int | None = None):
+    """Blocked-path dispatch; returns None when the plan doesn't apply.
+
+    G/L override the output tile shape (per-angle autotuning); defaults are
+    the 4K/30deg hardware probe winners.
+    """
+    G = _BLOCK_G if G is None else G
+    L = _BLOCK_L if L is None else L
+    if G == _BLOCK_G and L == _BLOCK_L:  # share the 3-arg lru_cache entry
+        plan = _blocked_plan(img.shape[0], img.shape[1], angle)
+    else:
+        plan = _blocked_plan(img.shape[0], img.shape[1], angle, G, L)
     if plan is None:
         return None
     new_h, new_w, bh, bw, n_g, n_k, splits, sy, sx, xc, yc = plan
     (axh, axl), (bxh, bxl), (ayh, ayl), (byh, byl) = splits
-    G, L = _BLOCK_G, _BLOCK_L
     return _rotate_apply_blocked(
         jnp.asarray(img),
         jnp.asarray(axh.reshape(n_k, L)), jnp.asarray(axl.reshape(n_k, L)),
@@ -479,7 +488,7 @@ def _rotate_blocked(img, angle: float):
         jnp.asarray(ayh.reshape(n_k, L)), jnp.asarray(ayl.reshape(n_k, L)),
         jnp.asarray(byh.reshape(n_g, G)), jnp.asarray(byl.reshape(n_g, G)),
         jnp.asarray(sy), jnp.asarray(sx), xc, yc,
-        new_h=new_h, new_w=new_w, bh=bh, bw=bw, n_g=n_g, n_k=n_k,
+        new_h=new_h, new_w=new_w, bh=bh, bw=bw, n_g=n_g, n_k=n_k, G=G, L=L,
     )
 
 

@@ -279,3 +279,100 @@ def resize_width_spatial(
     )
     out = fn(img3, *weight_arrays)
     return out[:, :, 0] if squeeze else out
+
+
+# ---------------------------------------------------------------------------
+# Spatial (output-row-sharded) arbitrary-angle ROTATION.
+#
+# Unlike resize, a rotated output row band's source taps span
+# cos*dH + sin*W input rows — at typical angles nearly (or more than) the
+# full input height — so a halo exchange is the WRONG collective: the right
+# one is a single uint8 all-gather of the input, after which each shard runs
+# the blocked-MXU rotation (`ops.geometry._rotate_apply_blocked`) on ONLY
+# its own output row-groups. Per device this moves (n-1)/n * H*W*C uint8
+# bytes over ICI, versus GSPMD's all-reduce of the full f32 output
+# (~8x more bytes at typical geometries) — and the compute is an even
+# 1/n split of row-groups with zero cross-shard math, so the result is
+# bit-identical to the single-device op by construction.
+# ---------------------------------------------------------------------------
+
+
+def rotate_spatial(
+    img: jnp.ndarray, angle: float, mesh: Mesh, axis_name: str | None = None
+) -> jnp.ndarray:
+    """``ops.geometry.rotate`` for ONE giant H-sharded image.
+
+    Exact permutation angles (0/90/180/270) and images too small for the
+    blocked plan fall back to the GSPMD-sharded op. Output is H-sharded
+    when the padded row-group count divides the mesh; the final crop to
+    ``new_h`` rows happens globally.
+    """
+    from imageprocessingtools_tpu.ops import geometry as _g
+
+    if axis_name is None:
+        axis_name = next(iter(mesh.shape))
+    n = mesh.shape[axis_name]
+    angle = float(angle)
+    height, width = int(img.shape[0]), int(img.shape[1])
+    sharding = NamedSharding(mesh, P(axis_name))
+    plan = None
+    if angle not in (0.0, 90.0, 180.0, 270.0) and height % n == 0:
+        plan = _g._blocked_plan(height, width, angle)
+    if plan is None or n == 1:
+        # GSPMD fallback: permutation angles, sub-block images, or an H that
+        # cannot be sharded evenly. Keeps whatever sharding the input has.
+        with mesh:
+            return jax.jit(lambda x: _g.rotate(x, angle))(img)
+
+    new_h, new_w, bh, bw, n_g, n_k, splits, sy, sx, xc, yc = plan
+    (axh, axl), (bxh, bxl), (ayh, ayl), (byh, byl) = splits
+    G, L = _g._BLOCK_G, _g._BLOCK_L
+
+    # Pad the row-group axis to a mesh multiple by repeating the last
+    # group's geometry; padded rows are cropped after the gather-free apply.
+    n_g2 = -(-n_g // n) * n
+    pad = n_g2 - n_g
+
+    def pad_g(a, group_shape):
+        a = a.reshape(n_g, *group_shape)
+        if pad:
+            a = np.concatenate([a, np.repeat(a[-1:], pad, axis=0)], axis=0)
+        return a
+
+    bxh2, bxl2 = pad_g(bxh, (G,)), pad_g(bxl, (G,))
+    byh2, byl2 = pad_g(byh, (G,)), pad_g(byl, (G,))
+    sy2, sx2 = pad_g(sy, (n_k,)), pad_g(sx, (n_k,))
+    n_g_loc = n_g2 // n
+
+    squeeze = img.ndim == 2
+    img3 = img[:, :, None] if squeeze else img
+
+    def body(tile, bxh_l, bxl_l, byh_l, byl_l, sy_l, sx_l,
+             axh_r, axl_r, ayh_r, ayl_r):
+        full = lax.all_gather(tile, axis_name, tiled=True)   # uint8[H, W, C]
+        return _g._rotate_apply_blocked(
+            full, axh_r, axl_r, bxh_l, bxl_l, ayh_r, ayl_r, byh_l, byl_l,
+            sy_l, sx_l, xc, yc,
+            new_h=n_g_loc * G, new_w=n_k * L, bh=bh, bw=bw,
+            n_g=n_g_loc, n_k=n_k, G=G, L=L,
+        )
+
+    rep = NamedSharding(mesh, P())
+    sharded_fn = jax.jit(
+        shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis_name),) + (P(axis_name),) * 6 + (P(),) * 4,
+            out_specs=P(axis_name),
+        ),
+        in_shardings=(sharding,) + (sharding,) * 6 + (rep,) * 4,
+    )
+    out = sharded_fn(
+        img3,
+        jnp.asarray(bxh2), jnp.asarray(bxl2),
+        jnp.asarray(byh2), jnp.asarray(byl2),
+        jnp.asarray(sy2), jnp.asarray(sx2),
+        jnp.asarray(axh.reshape(n_k, L)), jnp.asarray(axl.reshape(n_k, L)),
+        jnp.asarray(ayh.reshape(n_k, L)), jnp.asarray(ayl.reshape(n_k, L)),
+    )
+    out = out[:new_h, :new_w]
+    return out[:, :, 0] if squeeze else out

@@ -121,18 +121,23 @@ def process_file_spatial(
                       max_color=maxval)
         return out_path
 
-    if config.new_width is not None and n_use > 1:
-        # Resize stage via the halo-exchange shard_map path (ppermute of
-        # contributions-derived halo rows; GSPMD inside only as fallback),
-        # then the remaining ops under GSPMD on the resharded result.
+    if n_use > 1 and (config.new_width is not None or config.angle is not None):
+        # Resample stages via the explicit spatial-parallel paths — resize
+        # through the halo-exchange shard_map (ppermute of contributions-
+        # derived halo rows), rotation through the all-gathered row-group
+        # split — then the remaining elementwise ops under GSPMD.
         import dataclasses
 
         from imageprocessingtools_tpu.parallel.spatial import (
             resize_width_spatial,
+            rotate_spatial,
         )
 
-        img_d = resize_width_spatial(img_d, int(config.new_width), mesh)
-        rest = dataclasses.replace(config, new_width=None)
+        if config.new_width is not None:
+            img_d = resize_width_spatial(img_d, int(config.new_width), mesh)
+        if config.angle is not None:
+            img_d = rotate_spatial(img_d, float(config.angle), mesh)
+        rest = dataclasses.replace(config, new_width=None, angle=None)
         if rest.any_op:  # covers mono (P4 packing happens in _pipeline_fn)
             one = _pipeline_fn(rest)
             out = jax.jit(one)(img_d)

@@ -179,6 +179,55 @@ def main():
                 "bytes per device.",
     }
 
+    # 5. Spatial rotation: GSPMD baseline vs the all-gather + row-group
+    # split (each shard computes only its own output row-groups on the
+    # all-gathered uint8 input; no cross-shard math afterwards).
+    from imageprocessingtools_tpu.ops.geometry import rotate
+    from imageprocessingtools_tpu.parallel.spatial import rotate_spatial
+
+    rot_img = jnp.zeros((16 * n, 160, 3), jnp.uint8)
+    rot_sharded = jax.device_put(
+        rot_img, NamedSharding(smesh, P("sp", None, None)))
+    gfn = jax.jit(lambda x: rotate(x, 30.0),
+                  in_shardings=NamedSharding(smesh, P("sp", None, None)))
+    gcompiled = gfn.lower(rot_sharded).compile()
+    report["programs"]["gspmd_rotate_h_sharded"] = {
+        "global_image": list(rot_img.shape),
+        "collectives": _inventory(gcompiled),
+        "output_sharding": str(gcompiled.output_shardings),
+        "note": "arbitrary-angle rotation under plain GSPMD (baseline for "
+                "program 6): the partitioner all-gathers the input and then "
+                "REPLICATES the whole rotation on every device (output "
+                "sharding = PartitionSpec(), i.e. zero compute "
+                "parallelism).",
+    }
+
+    sfn2 = jax.jit(lambda x: rotate_spatial(x, 30.0, smesh))
+    scompiled2 = sfn2.lower(rot_sharded).compile()
+    eq = bool(np.array_equal(
+        np.asarray(sfn2(rot_sharded)), np.asarray(rotate(rot_img, 30.0))))
+    h, w = 16 * n, 160
+    report["programs"]["spatial_rotate_rowgroup_split"] = {
+        "global_image": list(rot_img.shape),
+        "collectives": _inventory(scompiled2),
+        "bit_identical_to_single_device": eq,
+        "bytes_on_wire_per_device_approx": {
+            "all_gather_input_uint8": (n - 1) * h * w * 3 // n,
+            "formula": "(n-1)/n * H * W * C uint8 (one input all-gather; "
+                       "each shard then computes only its own output "
+                       "row-groups — no cross-shard math afterwards)",
+        },
+        "per_device_rowgroups": "outH_padded / (n * 16) row-groups each "
+                                "(1/n of the compute; GSPMD above computes "
+                                "the full output on every device)",
+        "note": "a rotated output band's taps span cos*dH + sin*W input "
+                "rows (nearly the full image at typical angles), so the "
+                "right collective is ONE uint8 input all-gather, with the "
+                "output row-groups explicitly split across shards; the "
+                "extra small permutes are the final row-crop reshard and "
+                "the kilobyte-scale geometry tables.",
+    }
+
     print(json.dumps(report, indent=2))
 
 
