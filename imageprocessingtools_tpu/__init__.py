@@ -38,7 +38,6 @@ from imageprocessingtools_tpu.ops import (  # noqa: F401
     flip_vertical,
     rotate,
     rotate_exact,
-    rotate_fast,
     resize_width,
     resize_width_exact,
     resize,

@@ -146,7 +146,10 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         img, max_color = read_ppm(filename)
-        result, file_type = run_pipeline(img, config)
+        # strict_rotation: the eager CLI path audits the double-f32 zone
+        # decisions per geometry (cached, ~0.5 s at 4K) and takes the
+        # bit-exact host rotation if any decision is ambiguous.
+        result, file_type = run_pipeline(img, config, strict_rotation=True)
         write_ppm(
             filename + ".out",
             np.asarray(result),

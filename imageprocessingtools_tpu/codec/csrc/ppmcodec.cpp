@@ -108,9 +108,14 @@ struct Lexer {
 extern "C" {
 
 // Parse a P6 header. On success fills w/h/maxval and the payload byte offset
-// and validates the payload length exactly (trailer check).
-int ppmx_parse_header(const uint8_t* data, size_t size, uint32_t* w,
-                      uint32_t* h, uint32_t* maxval, size_t* offset) {
+// and validates the payload length exactly (trailer check). `full_size` is
+// the on-disk file size the payload checks run against; `size` is the number
+// of bytes actually present in `data` (a prefix for the batched serving
+// header pass — the caller retries with the whole file when the header
+// straddles the prefix, mirroring codec/ppm.py::parse_file_header).
+static int parse_header_impl(const uint8_t* data, size_t size,
+                             uint64_t full_size, uint32_t* w, uint32_t* h,
+                             uint32_t* maxval, size_t* offset) {
   Lexer lex{data, size};
   uint64_t v = 0;
   // Message-parity contract (matches codec/ppm.py::_parse_header exactly):
@@ -143,13 +148,30 @@ int ppmx_parse_header(const uint8_t* data, size_t size, uint32_t* w,
   *w = static_cast<uint32_t>(w64);
   *h = static_cast<uint32_t>(h64);
   const uint64_t need = static_cast<uint64_t>(*w) * (*h) * 3u;
-  const uint64_t avail = size - lex.pos;
+  const uint64_t avail = full_size - lex.pos;
   // Reference quirk: the per-pixel bounds check (ppmx-edward.c:315) fires
   // only when a pixel STARTS past EOF, so payloads short by 1-3 bytes reach
   // the strict trailer check (:453, "file format error") instead.
   if (avail + 3 < need) return kErrShort;
   if (avail != need) return kErrTrailer;
   return kOk;
+}
+
+int ppmx_parse_header(const uint8_t* data, size_t size, uint32_t* w,
+                      uint32_t* h, uint32_t* maxval, size_t* offset) {
+  return parse_header_impl(data, size, size, w, h, maxval, offset);
+}
+
+// Header pass over a file PREFIX: token grammar runs on `data[:size]`, the
+// payload-length checks run against `full_size`. Returns kErrPrefix when
+// the header consumed the whole prefix of a larger file (the result cannot
+// be trusted; re-read the full file and retry).
+int ppmx_parse_header_prefix(const uint8_t* data, size_t size,
+                             uint64_t full_size, uint32_t* w, uint32_t* h,
+                             uint32_t* maxval, size_t* offset) {
+  int rc = parse_header_impl(data, size, full_size, w, h, maxval, offset);
+  if (rc == kOk && *offset >= size && full_size > size) return -100;
+  return rc;
 }
 
 // Decode one P6 into dst[h*w*3] (caller sized from ppmx_parse_header).

@@ -67,6 +67,16 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_uint32),
             ctypes.POINTER(ctypes.c_size_t),
         ]
+        lib.ppmx_parse_header_prefix.restype = ctypes.c_int
+        lib.ppmx_parse_header_prefix.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_size_t),
+        ]
         lib.ppmx_decode_batch.restype = ctypes.c_int
         lib.ppmx_decode_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p),
@@ -90,6 +100,38 @@ def _load() -> ctypes.CDLL | None:
 
 def available() -> bool:
     return _load() is not None
+
+
+def parse_file_header(path: str, prefix_bytes: int = 65536):
+    """(width, height, maxval, payload_offset) via the NATIVE lexer over a
+    file prefix — the batched serving header pass (4096 files would read
+    ~100 GB if slurped whole). Grammar, messages, and the retry-on-straddle
+    behavior mirror `codec.ppm.parse_file_header`; falls back to the Python
+    implementation when the native library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "ppmx_parse_header_prefix"):
+        return _py.parse_file_header(path, prefix_bytes)
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        prefix = f.read(prefix_bytes)
+    w = ctypes.c_uint32()
+    h = ctypes.c_uint32()
+    mv = ctypes.c_uint32()
+    off = ctypes.c_size_t()
+    rc = lib.ppmx_parse_header_prefix(
+        prefix, len(prefix), size,
+        ctypes.byref(w), ctypes.byref(h), ctypes.byref(mv), ctypes.byref(off))
+    if rc != 0 and len(prefix) < size:
+        # Error or header-straddles-prefix on a partial read: retry whole.
+        with open(path, "rb") as f:
+            data = f.read()
+        rc = lib.ppmx_parse_header_prefix(
+            data, len(data), size,
+            ctypes.byref(w), ctypes.byref(h), ctypes.byref(mv),
+            ctypes.byref(off))
+    if rc != 0:
+        raise _py.PPMError(_ERROR_MESSAGES[rc])
+    return w.value, h.value, mv.value, off.value
 
 
 def parse_header(data: bytes) -> tuple[int, int, int, int]:

@@ -259,17 +259,74 @@ def fused_elementwise_pallas(
 # ---------------------------------------------------------------------------
 
 
+# The in-kernel histogram/LUT design (round 3 — this is what made these
+# kernels compile AND go fast on real TPUs):
+#
+# - LANE-MAJOR one-hots: pixels ride the LANE axis and the nibble dot
+#   contracts over lanes (dim 1 x dim 1). The round-2 form put pixels on
+#   sublanes, which required the [TR, W] -> [TR*W, 1] reshape Mosaic
+#   rejects ("infer-vector-layout: unsupported shape cast").
+# - SLAB EXPANSION: dynamic sublane slices must be 8-aligned ("cannot
+#   statically prove that index ... is a multiple of 8"), so rows are
+#   processed in [8, W] slabs; `_expand_rows16` replicates slab row j onto
+#   sublanes 16j..16j+15 with single-vreg `dynamic_gather`s (the rotation
+#   kernel's table trick — an [8, W] source is exactly one vreg along the
+#   gather dim). One [128, W] x [128, W] dot then computes EIGHT rows' 16x16
+#   nibble outer products on the block diagonal at once — 8x fewer MXU
+#   FLOPs than a per-row [128, W] dot, and the per-row python loop that
+#   cost ~550 s of Mosaic compile time is gone.
+# - The 8 diagonal 16x16 blocks are summed OUTSIDE the kernel (XLA side):
+#   lane offsets of 16 are not sliceable in-kernel, and it is 8 KB of data.
+
+
+def _expand_rows16(slab):
+    """int32[8, W] -> int32[128, W] with row j at sublanes 16j..16j+15."""
+    w = slab.shape[1]
+    idx = lax.broadcasted_iota(jnp.int32, (8, w), 0)
+    return jnp.concatenate(
+        [jnp.take_along_axis(slab, (idx + 8 * c) >> 4, axis=0)
+         for c in range(16)],
+        axis=0,
+    )
+
+
+def _hist_slab_counts(ref, tr: int, w: int, valid_rows=None):
+    """Block-diagonal nibble counts of ``ref[:tr, :w]`` -> f32[128, 128].
+
+    ``valid_rows(global_row_iota) -> bool`` masks padding rows (their
+    expanded values become -1, which matches no nibble). The true histogram
+    is the sum of the 8 diagonal 16x16 blocks (`_fold_diag_blocks`).
+    """
+    iota_m16 = lax.broadcasted_iota(jnp.int32, (128, w), 0) & 15
+
+    def body(s, acc):
+        base = pl.multiple_of(s * 8, 8)
+        slab = ref[pl.ds(base, 8), :].astype(jnp.int32)
+        ex = _expand_rows16(slab)
+        if valid_rows is not None:
+            rows = base + (lax.broadcasted_iota(jnp.int32, (128, w), 0) >> 4)
+            ex = jnp.where(valid_rows(rows), ex, -1)
+        hi = ((ex >> 4) == iota_m16).astype(jnp.bfloat16)
+        lo = ((ex & 15) == iota_m16).astype(jnp.bfloat16)
+        return acc + lax.dot_general(
+            hi, lo, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    return lax.fori_loop(0, tr // 8, body, jnp.zeros((128, 128), jnp.float32))
+
+
+def _fold_diag_blocks(big: jnp.ndarray) -> jnp.ndarray:
+    """Sum the 8 diagonal 16x16 blocks of [128, 128] -> int32[256]."""
+    blocks = big.reshape(8, 16, 8, 16)
+    diag = sum(blocks[j, :, j, :] for j in range(8))
+    return diag.reshape(256).astype(jnp.int32)
+
+
 def _hist_kernel(v_ref, out_ref):
     step = pl.program_id(0)
     tr, w = v_ref.shape
-    v = v_ref[:].astype(jnp.int32).reshape(tr * w, 1)
-    iota = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    hi = ((v >> 4) == iota).astype(jnp.bfloat16)   # [M, 128], cols 16+ zero
-    lo = ((v & 15) == iota).astype(jnp.bfloat16)
-    counts = lax.dot_general(
-        hi, lo, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [128, 128]; useful block [:16, :16]
+    counts = _hist_slab_counts(v_ref, tr, w)
 
     @pl.when(step == 0)
     def _():
@@ -280,40 +337,38 @@ def _hist_kernel(v_ref, out_ref):
         out_ref[:] = out_ref[:] + counts
 
 
+def _pad_to_lane_multiple(x: jnp.ndarray) -> tuple[jnp.ndarray, int]:
+    """Zero-pad W up to a 128 multiple (Mosaic lane-pads blocks with
+    UNDEFINED data, which the lane-contraction dots would accumulate)."""
+    w = x.shape[1]
+    pad = (-w) % 128
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)))
+    return x, pad
+
+
 @functools.partial(jax.jit, static_argnames=("block_rows",))
 def histogram_pallas(gray: jnp.ndarray, block_rows: int | None = None):
-    """uint8[H, W] -> int32[256] (exact; requires H*W < 2^24).
+    """uint8[H, W] -> int32[256]; exact, in-VMEM Pallas kernel.
 
-    The f32 accumulator loses integer exactness once one bin exceeds 2^24
-    (e.g. a constant 4096x4096 image), so such inputs are rejected rather
-    than silently wrong; ops.histogram chunks and stays exact at any size.
-
-    NOTE (measured on hardware, round 2): the [TR, W] -> [TR*W, 1] reshape
-    this formulation needs is rejected by the current Mosaic compiler
-    ("infer-vector-layout: unsupported shape cast"), so on a real TPU this
-    function falls back to the XLA nibble-MXU op (same trick, same exact
-    result, and measured at parity). The kernel remains the reference
-    in-VMEM formulation and runs under interpret mode in CI.
+    Compiles and runs ON HARDWARE (round 3): the lane-major one-hot dot
+    needs no shape cast (see `_hist_rows_acc`). The f32 bin accumulator is
+    integer-exact up to 2^24 per bin, so images with H*W >= 2^24 delegate
+    to the chunked XLA op (`ops.histogram`) instead of risking silent
+    wrap — the function stays a drop-in at any size.
     """
-    if not _interpret():
+    if gray.shape[0] * gray.shape[1] >= 2**24:
         from imageprocessingtools_tpu.ops.histogram import histogram as _xla_hist
 
-        # The XLA op chunks internally for huge images, so the hardware
-        # fallback is a drop-in at ANY size (it used to raise for
-        # H*W >= 2^24, which broke the drop-in contract for e.g. 4096^2).
         return _xla_hist(gray)
-    if gray.shape[0] * gray.shape[1] >= 2**24:
-        raise ValueError(
-            f"histogram_pallas requires H*W < 2^24 for exact f32 bin counts; "
-            f"got {gray.shape[0]}x{gray.shape[1]}; use ops.histogram instead"
-        )
     br = _resolve_block_rows(gray.shape[0], block_rows, radius=1, default=64)
-    h = gray.shape[0]
+    br = max(8, br - br % 8)  # slab processing needs 8-row multiples
+    h, w0 = gray.shape
     padded_h = -(-h // br) * br
-    pad = padded_h - h
-    if pad:
-        # Zero-pad; the extra rows land in bin 0 and are subtracted below.
-        gray = jnp.pad(gray, ((0, pad), (0, 0)))
+    if padded_h != h:
+        # Zero-pad; the extra pixels land in bin 0 and are subtracted below.
+        gray = jnp.pad(gray, ((0, padded_h - h), (0, 0)))
+    gray, _ = _pad_to_lane_multiple(gray)
     w = gray.shape[1]
     big = pl.pallas_call(
         _hist_kernel,
@@ -323,40 +378,69 @@ def histogram_pallas(gray: jnp.ndarray, block_rows: int | None = None):
         out_shape=jax.ShapeDtypeStruct((128, 128), jnp.float32),
         interpret=_interpret(),
     )(gray)
-    hist = big[:16, :16].reshape(256).astype(jnp.int32)
-    return hist.at[0].add(-pad * w) if pad else hist
+    hist = _fold_diag_blocks(big)
+    pad_pixels = padded_h * w - h * w0  # all zero-valued -> bin 0
+    return hist.at[0].add(-pad_pixels) if pad_pixels else hist
 
 
 def _lut_kernel(v_ref, lut_ref, out_ref):
+    """LUT apply with the slab expansion (see histogram design comment).
+
+    Per [8, W] slab: expand rows onto 16-sublane groups, one-hot the hi
+    nibble, contract with the BLOCK-DIAGONAL transposed-LUT matrix (row
+    16j+b holds lut[a*16+b] at columns 16j+a, so rows only couple within
+    their own group): t[16j+b, c] = lut2d[hi_j[c], b]. Select by the lo
+    one-hot and reduce each 16-sublane group with one [8, 128] group-sum
+    matmul. All values are exact small integers.
+    """
     tr, w = v_ref.shape
-    v = v_ref[:].astype(jnp.int32).reshape(tr * w, 1)
-    iota = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    hi = ((v >> 4) == iota).astype(jnp.bfloat16)
-    lo = (v & 15) == iota
-    partial = jnp.dot(
-        hi, lut_ref[:].astype(jnp.bfloat16), preferred_element_type=jnp.float32
-    )  # [M, 128]
-    out = jnp.sum(jnp.where(lo, partial, 0.0), axis=1)
-    out_ref[:] = out.reshape(tr, w).astype(jnp.uint8)
+    iota = lax.broadcasted_iota(jnp.int32, (128, w), 0)
+    iota_m16 = iota & 15
+    lut_bd = lut_ref[:].astype(jnp.bfloat16)              # [128, 128]
+    # G[j, s] = (s >> 4 == j): sums each 16-sublane group to one row.
+    g_lane = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    g_row = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    gsum = ((g_lane >> 4) == g_row).astype(jnp.bfloat16)  # [8, 128]
+
+    def body(s, _):
+        base = pl.multiple_of(s * 8, 8)
+        slab = v_ref[pl.ds(base, 8), :].astype(jnp.int32)
+        ex = _expand_rows16(slab)                         # [128, W]
+        hi = ((ex >> 4) == iota_m16).astype(jnp.bfloat16)
+        lo = (ex & 15) == iota_m16
+        t = lax.dot_general(
+            lut_bd, hi, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                 # [128, W]
+        z = jnp.where(lo, t, 0.0).astype(jnp.bfloat16)    # exact (<= 255)
+        picked = lax.dot_general(
+            gsum, z, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                 # [8, W]
+        # Mosaic has no f32->u8 cast; route through int32.
+        out_ref[pl.ds(base, 8), :] = picked.astype(jnp.int32).astype(jnp.uint8)
+        return 0
+
+    lax.fori_loop(0, tr // 8, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("block_rows",))
 def lut_apply_pallas(values: jnp.ndarray, lut: jnp.ndarray, block_rows: int | None = None):
     """uint8[H, W] through an integer [256] LUT; exact, gather-free.
 
-    Same Mosaic reshape limitation as histogram_pallas: on a real TPU this
-    falls back to the XLA nibble-MXU ops.apply_lut (identical trick/result).
+    Same lane-major slab formulation as `histogram_pallas` — compiles and
+    runs on hardware (round 3); no XLA fallback needed.
     """
-    if not _interpret():
-        from imageprocessingtools_tpu.ops.histogram import apply_lut as _xla_lut
-
-        return _xla_lut(values, lut)
     br = _resolve_block_rows(values.shape[0], block_rows, radius=1, default=64)
+    br = max(8, br - br % 8)
     padded, h = _pad_rows_edge(values, br)
+    padded, wpad = _pad_to_lane_multiple(padded)
     ph, w = padded.shape
-    lut128 = jnp.zeros((128, 128), jnp.float32).at[:16, :16].set(
-        lut.reshape(16, 16).astype(jnp.float32)
-    )
+    # Block-diagonal transposed LUT: block[b, a] = lut[a*16 + b] at rows
+    # 16j+b, cols 16j+a for each of the 8 groups j (lut may be traced —
+    # stay in jnp).
+    l2 = lut.reshape(16, 16).astype(jnp.float32).T
+    lut_t = jnp.kron(jnp.eye(8, dtype=jnp.float32), l2)
     out = pl.pallas_call(
         _lut_kernel,
         grid=(ph // br,),
@@ -367,8 +451,8 @@ def lut_apply_pallas(values: jnp.ndarray, lut: jnp.ndarray, block_rows: int | No
         out_specs=pl.BlockSpec((br, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ph, w), jnp.uint8),
         interpret=_interpret(),
-    )(padded, lut128)
-    return out[:h]
+    )(padded, jnp.asarray(lut_t))
+    return out[:h, : w - wpad]
 
 
 # ---------------------------------------------------------------------------
@@ -451,13 +535,107 @@ def gray_gauss_pallas(img: jnp.ndarray, block_rows: int | None = None):
     return blurred[:h0]
 
 
+def _gray_gauss_hist_kernel(h_real, r_prev, g_prev, b_prev, r_cur, g_cur,
+                            b_cur, r_next, g_next, b_next, out_ref, hist_ref):
+    step = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+    tr, w = r_cur.shape
+
+    def gray_rows(refs, lo, hi):
+        r, g, b = refs
+        return (
+            r[lo:hi, :].astype(jnp.int32)
+            + g[lo:hi, :].astype(jnp.int32)
+            + b[lo:hi, :].astype(jnp.int32)
+        ) // 3
+
+    cur = gray_rows((r_cur, g_cur, b_cur), 0, tr)
+    prev_tail = gray_rows((r_prev, g_prev, b_prev), tr - 2, tr)
+    next_head = gray_rows((r_next, g_next, b_next), 0, 2)
+    edge_top = jnp.concatenate([cur[:1]] * 2, axis=0)
+    edge_bot = jnp.concatenate([cur[tr - 1 :]] * 2, axis=0)
+    top = jnp.where(step == 0, edge_top, prev_tail)
+    bot = jnp.where(step == n_steps - 1, edge_bot, next_head)
+    padded = jnp.concatenate([top, cur, bot], axis=0)
+
+    rows = None
+    for dy, k in enumerate(_GAUSS_TAPS):
+        term = k * padded[dy : dy + tr, :]
+        rows = term if rows is None else rows + term
+    rows = _col_edge_pad(rows, 2)
+    acc = None
+    for dx, k in enumerate(_GAUSS_TAPS):
+        term = k * rows[:, dx : dx + w]
+        acc = term if acc is None else acc + term
+    blurred = (acc + 128) >> 8                               # [TR, W] int32
+    out_ref[:] = blurred.astype(jnp.uint8)
+
+    # In-kernel histogram of the blurred tile (slab-expanded lane-major
+    # nibble dots — see the histogram design comment); rows are read back
+    # from the just-written output block; edge-replicated pad rows beyond
+    # the real image are masked out (expanded value -1 matches no nibble).
+    counts = _hist_slab_counts(
+        out_ref, tr, w,
+        valid_rows=lambda rows: (step * tr + rows) < h_real)
+
+    @pl.when(step == 0)
+    def _():
+        hist_ref[:] = counts
+
+    @pl.when(step != 0)
+    def _():
+        hist_ref[:] = hist_ref[:] + counts
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows",))
+def _gray_gauss_hist_call(img: jnp.ndarray, block_rows: int):
+    h0, w = img.shape[0], img.shape[1]
+    br = block_rows
+    planes = []
+    for c in range(3):
+        p, _ = _pad_rows_edge(img[:, :, c], br)
+        planes.append(p)
+    ph = planes[0].shape[0]
+    n = ph // br
+    halo = _halo_specs(br, w, n)
+    in_specs = [halo[0]] * 3 + [halo[1]] * 3 + [halo[2]] * 3
+    blurred, big = pl.pallas_call(
+        functools.partial(_gray_gauss_hist_kernel, h0),
+        grid=(n,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((br, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((ph, w), jnp.uint8),
+            jax.ShapeDtypeStruct((128, 128), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(*(planes * 3))
+    return blurred[:h0], _fold_diag_blocks(big)
+
+
 def gray_gauss_hist_pallas(img: jnp.ndarray, block_rows: int | None = None):
-    """(blurred-gray, histogram) — gray+gauss in one Pallas pass, histogram
-    via the XLA nibble-MXU op (in-kernel form is Mosaic-rejected, see module
-    comment). H*W < 2^24 required for the downstream equalize exactness."""
+    """(blurred-gray, histogram) in ONE Pallas VMEM pass — the flagship
+    mega-kernel, fully in-kernel on hardware since round 3 (grayscale fused
+    into the Gaussian's tile loads, histogram accumulated across grid steps
+    with the lane-major nibble dots; neither the gray image nor the blurred
+    intermediate round-trips HBM for the histogram).
+
+    Requires W % 128 == 0 (the in-kernel dots contract over lanes; Mosaic
+    lane-pads non-multiple blocks with undefined data) and H*W < 2^24
+    (exact f32 bin counts); other shapes take the two-step path
+    (`gray_gauss_pallas` + the XLA nibble-MXU histogram, same results).
+    """
     if img.shape[0] * img.shape[1] >= 2**24:
         raise ValueError("gray_gauss_hist_pallas requires H*W < 2^24")
-    from imageprocessingtools_tpu.ops.histogram import histogram as _xla_hist
+    h0, w = int(img.shape[0]), int(img.shape[1])
+    br = _resolve_block_rows(h0, block_rows, radius=2, default=16)
+    br = max(8, br - br % 8)  # slab processing needs 8-row multiples
+    if w % 128 or h0 < 8:
+        from imageprocessingtools_tpu.ops.histogram import histogram as _xla_hist
 
-    blurred = gray_gauss_pallas(img, block_rows=block_rows)
-    return blurred, _xla_hist(blurred)
+        blurred = gray_gauss_pallas(img, block_rows=block_rows)
+        return blurred, _xla_hist(blurred)
+    return _gray_gauss_hist_call(img, br)

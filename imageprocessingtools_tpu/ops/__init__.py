@@ -26,7 +26,11 @@ from imageprocessingtools_tpu.ops.geometry import (  # noqa: F401
     rotate180,
     rotate270,
 )
-from imageprocessingtools_tpu.ops.shear_rotate import rotate_fast  # noqa: F401
+# rotate_fast (3-shear rotation) is DEPRECATED and no longer exported: the
+# blocked-MXU `rotate` is ~11x faster at 4K AND keeps exact reference zone
+# semantics, so the shear path has no compensating property. It remains
+# importable from ops.shear_rotate (with a DeprecationWarning) for
+# compatibility only.
 from imageprocessingtools_tpu.ops.resize import (  # noqa: F401
     resize_width,
     resize_width_exact,

@@ -1,10 +1,17 @@
-"""rotate_fast: TPU-native 3-shear rotation (extension op, non-parity).
+"""rotate_fast: TPU-native 3-shear rotation (DEPRECATED, non-parity).
+
+DEPRECATED since round 3: the blocked-MXU `ops.geometry.rotate` is ~11x
+faster at 4K (59 vs 659 ms, PROFILE_r02) AND keeps the reference's exact
+zone semantics, so this op is strictly dominated — worse speed and worse
+semantics, with no compensating property. Calling it emits a
+DeprecationWarning pointing at `rotate`; it is no longer exported from
+`ops`. Its three per-line resampling stages would need the blocked
+rotation's own tile/banded-matmul machinery to go fast on the MXU, at
+which point it IS the blocked rotation with worse resampling.
 
 The reference's arbitrary rotation is a per-destination-pixel 2-D bicubic
 gather (``ppmx-edward.c:729-785``). This op predates the blocked MXU form
-of `ops.geometry.rotate` (round 2, ~67 ms at 4K — now FASTER than this op's
-~0.66 s while keeping exact parity); it remains as the separable-resampling
-alternative and API-compat extension. It factorizes the same inverse affine
+of `ops.geometry.rotate`; it factorizes the same inverse affine
 map via Paeth shears:
 
     R = Sx(t) . Sy(-s) . Sx(t),   t = tan(theta/2), s = sin(theta)
@@ -176,9 +183,18 @@ def _shear_rotate_apply(img, *, height: int, width: int, residual: float):
 def rotate_fast(img: jnp.ndarray, angle_deg: float) -> jnp.ndarray:
     """CW rotation via three shears; same bbox/centers as the exact op.
 
-    Extension op — NOT bit-parity with the reference (separable cubic
-    resampling, black fill, no nearest edge band). 0/90/180/270 are exact.
+    DEPRECATED: use `ops.rotate` — faster (blocked MXU) and reference-exact.
+    NOT bit-parity with the reference (separable cubic resampling, black
+    fill, no nearest edge band). 0/90/180/270 are exact.
     """
+    import warnings
+
+    warnings.warn(
+        "rotate_fast is deprecated: ops.rotate is ~11x faster at 4K and "
+        "keeps exact reference zone semantics",
+        DeprecationWarning,
+        stacklevel=2,
+    )
     quarter, residual = _decompose(angle_deg)
     out = jnp.asarray(img)
     if quarter == 1:

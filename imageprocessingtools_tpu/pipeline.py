@@ -58,12 +58,20 @@ class PipelineConfig:
         return FILETYPE_PPM
 
 
-def run_pipeline(img, config: PipelineConfig) -> tuple[jnp.ndarray, int]:
+def run_pipeline(
+    img, config: PipelineConfig, strict_rotation: bool = False
+) -> tuple[jnp.ndarray, int]:
     """Apply the fixed-order pipeline; returns (result, file_type).
 
     ``img`` is uint8[H, W, 3] (numpy or jax). Raises ValueError with the
     reference's message when no op is requested (quirk B2: the reference
     errors with "no data to write").
+
+    ``strict_rotation=True`` (the CLI's eager path) runs the cached host
+    audit `rotation_decisions_safe` on the rotation geometry and falls back
+    to the bit-exact f64 host rotation if any zone/nearest decision is
+    ambiguous at double-f32 precision. The audit cannot fall back under
+    tracing (vmap/jit callers), so it is opt-in.
     """
     if not config.any_op:
         raise ValueError("Error: no data to write\n")
@@ -71,7 +79,7 @@ def run_pipeline(img, config: PipelineConfig) -> tuple[jnp.ndarray, int]:
     if config.new_width is not None:
         out = ops.resize_width(out, int(config.new_width))
     if config.angle is not None:
-        out = ops.rotate(out, float(config.angle))
+        out = ops.rotate(out, float(config.angle), strict=strict_rotation)
     if config.gray:
         out = ops.grayscale(out)
     if config.mono:

@@ -193,6 +193,23 @@ def _read_and_decode(paths, idxs):
     return batch
 
 
+def _bucket_needs_strict_rotation(h: int, w: int, config: PipelineConfig) -> bool:
+    """True if this bucket's ROTATED geometry fails the double-f32 zone
+    audit (`ops.geometry.rotation_decisions_safe`) and must take the
+    bit-exact host path. Cached per geometry inside the audit."""
+    if config.angle is None or float(config.angle) in (0.0, 90.0, 180.0, 270.0):
+        return False
+    gh, gw = h, w
+    if config.new_width is not None:
+        from imageprocessingtools_tpu.ops import _exact
+
+        plan = _exact.plan_resize(h, w, int(config.new_width))
+        gh, gw = plan.new_height, plan.new_width
+    from imageprocessingtools_tpu.ops.geometry import rotation_decisions_safe
+
+    return not rotation_decisions_safe(gh, gw, float(config.angle))
+
+
 def process_files(
     paths: list[str],
     config: PipelineConfig,
@@ -215,11 +232,13 @@ def process_files(
     memory stays ~5 chunks regardless of file count. Returns output paths.
     """
     # First pass: headers only — reads a 64 KB prefix + stat per file (NOT
-    # the payload); payloads are read per chunk so host memory stays bounded
-    # by a few chunks, not the whole file set.
+    # the payload) through the NATIVE lexer (identical grammar/messages;
+    # transparently falls back to the Python codec without a toolchain);
+    # payloads are read per chunk so host memory stays bounded by a few
+    # chunks, not the whole file set.
     metas = []
     for p in paths:
-        w, h, maxval, _ = ppm.parse_file_header(p)
+        w, h, maxval, _ = native.parse_file_header(p)
         metas.append((h, w, maxval))
 
     buckets: dict[tuple[int, int], list[int]] = collections.defaultdict(list)
@@ -228,6 +247,25 @@ def process_files(
 
     out_paths: list[str | None] = [None] * len(paths)
     for (h, w), all_idxs in buckets.items():
+        if _bucket_needs_strict_rotation(h, w, config):
+            # The double-f32 zone audit flagged this geometry (no known
+            # case reaches here — the committed 359-angle sweep is clean —
+            # but the vmapped pipeline cannot take the bit-exact host
+            # fallback under tracing, so the bucket runs eagerly).
+            for i in all_idxs:
+                with open(paths[i], "rb") as f:
+                    img, _ = ppm.decode_ppm(f.read())
+                res, ft = run_pipeline(img, config, strict_rotation=True)
+                res_np = np.asarray(res)
+                out_path = paths[i] + suffix
+                if ft == FILETYPE_PBM:
+                    _write_p4(out_path, np.packbits(res_np, axis=1),
+                              res_np.shape[0], res_np.shape[1])
+                else:
+                    ppm.write_ppm(out_path, res_np, file_type=ft,
+                                  max_color=metas[i][2])
+                out_paths[i] = out_path
+            continue
         # Pre-pack spatial dims (resize/rotate may change them before mono).
         unpacked = jax.eval_shape(
             lambda im: run_pipeline(im, config)[0],

@@ -29,14 +29,16 @@ def _fetch_tiny(x) -> None:
 
 
 def device_loop_rate(body, img, iters: int = 20, repeats: int = 3) -> float:
-    """Seconds per iteration of ``body`` (uint8[H,W,3] -> uint8 array).
+    """Seconds per iteration of ``body`` (uint8 array -> uint8 array).
 
-    The output is recycled into the next [H, W, 3] input via ravel/tile —
+    The output is recycled into the next input (any shape) via ravel/tile —
     the measured time includes that feedback materialization, so rates are
     slight underestimates of the pure op.
     """
-    h, w, c = img.shape
-    need = h * w * c
+    shape = tuple(img.shape)
+    need = 1
+    for d in shape:
+        need *= int(d)
 
     @functools.partial(jax.jit, static_argnums=1)
     def loop(x, n):
@@ -44,7 +46,7 @@ def device_loop_rate(body, img, iters: int = 20, repeats: int = 3) -> float:
             out = body(carry)
             flat = jnp.ravel(out.astype(jnp.uint8))
             reps = -(-need // flat.shape[0])
-            return jnp.tile(flat, reps)[:need].reshape(h, w, c)
+            return jnp.tile(flat, reps)[:need].reshape(shape)
 
         return lax.fori_loop(0, n, b, x)
 

@@ -69,3 +69,43 @@ def test_pack_bits_matches_numpy(width):
     rng = np.random.default_rng(width)
     bits = rng.integers(0, 2, size=(7, width), dtype=np.uint8)
     assert native.pack_bits(bits) == np.packbits(bits, axis=1).tobytes()
+
+
+def test_native_parse_file_header_matches_python(tmp_path):
+    """The native prefix-mode header pass (used by serving) agrees with the
+    Python parse_file_header on values AND error messages, including a
+    header longer than the prefix (retry-on-straddle)."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from imageprocessingtools_tpu.codec import native, ppm
+    from tests.conftest import make_image
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+
+    img = make_image(6, 5, seed=2)
+    cases = {
+        "plain.ppm": ppm.encode_ppm(img),
+        # comment-stuffed header longer than the probe prefix
+        "bigheader.ppm": b"P6\n" + (b"#" + b"x" * 200 + b"\n") * 8
+                          + b"5 6 255\n" + img.tobytes(),
+        "trailing.ppm": ppm.encode_ppm(img) + b"z",
+        "short.ppm": ppm.encode_ppm(img)[:-7],
+        "badmagic.ppm": b"P5 5 6 255\n" + img.tobytes(),
+    }
+    for name, data in cases.items():
+        p = os.path.join(str(tmp_path), name)
+        with open(p, "wb") as f:
+            f.write(data)
+        try:
+            py = ("ok",) + tuple(ppm.parse_file_header(p, prefix_bytes=128))
+        except ppm.PPMError as e:
+            py = ("err", str(e))
+        try:
+            nat = ("ok",) + tuple(native.parse_file_header(p, prefix_bytes=128))
+        except ppm.PPMError as e:
+            nat = ("err", str(e))
+        assert nat == py, (name, nat, py)

@@ -121,3 +121,38 @@ def test_mega_kernel_size_guard():
 
     with pytest.raises(ValueError, match="2\\^24"):
         gray_gauss_hist_pallas(np.zeros((4100, 4100, 3), np.uint8))
+
+
+def test_histogram_pallas_odd_shapes_exact():
+    """Non-8-multiple rows AND non-128-multiple lanes: the zero-pad + bin-0
+    correction and the slab row masking must stay exact."""
+    for shape in ((37, 300), (8, 100), (9, 128), (64, 384)):
+        gray = golden.grayscale(make_image(*shape, seed=shape[0]))
+        out = np.asarray(pk.histogram_pallas(gray))
+        np.testing.assert_array_equal(out, golden.histogram(gray), err_msg=str(shape))
+        assert out.sum() == shape[0] * shape[1]
+
+
+def test_lut_apply_pallas_odd_shapes_exact():
+    rng = np.random.default_rng(11)
+    lut = rng.integers(0, 256, 256, dtype=np.uint8)
+    for shape in ((37, 300), (8, 100), (9, 128)):
+        gray = golden.grayscale(make_image(*shape, seed=shape[1]))
+        out = np.asarray(pk.lut_apply_pallas(gray, lut))
+        np.testing.assert_array_equal(out, lut[gray], err_msg=str(shape))
+
+
+def test_mega_kernel_row_masking_exact():
+    """H not a slab multiple: the in-kernel validity mask must exclude the
+    edge-replicated pad rows from the histogram."""
+    from imageprocessingtools_tpu.kernels.pallas_core import gray_gauss_hist_pallas
+    from imageprocessingtools_tpu.ops.color import grayscale
+    from imageprocessingtools_tpu.ops.histogram import histogram
+    from imageprocessingtools_tpu.ops.stencil import gaussian_blur
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(43, 128, 3), dtype=np.uint8)
+    blurred, hist = gray_gauss_hist_pallas(img)
+    expected = gaussian_blur(grayscale(img))
+    np.testing.assert_array_equal(np.asarray(blurred), np.asarray(expected))
+    np.testing.assert_array_equal(np.asarray(hist), np.asarray(histogram(expected)))

@@ -249,3 +249,57 @@ def test_pallas_profitability_gate():
     assert plan170 is not None and plan170[3] == 256  # fits, but wide
     assert not pallas_profitable(2160, 3840, 170.0)
     assert not pallas_profitable(40, 40, 30.0)        # unfit plan
+
+
+def test_angle_sweep_all_cli_angles_small_sizes():
+    """EVERY CLI-reachable resampling angle (integers 1..359 minus the
+    permutation set) passes the double-f32 decision audit at the small
+    size-grid points; tools/angle_audit.py commits the same sweep at HD/4K
+    (ANGLE_AUDIT_r03.json). Together with the CLI's strict_rotation=True
+    (which runs this audit per geometry and falls back to the bit-exact
+    host path on failure), the parity argument covers the whole CLI domain."""
+    for h, w in ((16, 16), (37, 23)):
+        unsafe = [
+            a for a in range(1, 360)
+            if a not in (90, 180, 270)
+            and not geometry.rotation_decisions_safe(h, w, float(a))
+        ]
+        assert unsafe == [], (h, w, unsafe)
+
+
+def test_cli_uses_strict_rotation(tmp_path, monkeypatch):
+    """The eager CLI path must run the zone audit (strict_rotation=True)."""
+    import os
+
+    from imageprocessingtools_tpu import cli
+    from imageprocessingtools_tpu.codec import ppm
+
+    calls = []
+    orig = geometry.rotation_decisions_safe
+
+    def spy(h, w, a):
+        calls.append((h, w, a))
+        return orig(h, w, a)
+
+    monkeypatch.setattr(geometry, "rotation_decisions_safe", spy)
+    rng = np.random.default_rng(0)
+    p = os.path.join(str(tmp_path), "s.ppm")
+    ppm.write_ppm(p, rng.integers(0, 256, (24, 32, 3), dtype=np.uint8))
+    assert cli.main(["-r33", p]) == 0
+    assert (24, 32, 33.0) in calls
+
+
+@pytest.mark.parametrize("shape,angle", [((160, 200), 30.0), ((20, 28), 30.0)])
+def test_vmapped_rotation_matches_per_image(shape, angle):
+    """vmap(rotate) over a batch == per-image rotate, bit for bit — both the
+    blocked path (160x200 exceeds the 30deg source block) and the gather
+    fallback (20x28 is below it). Serving's batched-rotation story."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    batch = rng.integers(0, 256, size=(4,) + shape + (3,), dtype=np.uint8)
+    out = np.asarray(jax.jit(jax.vmap(lambda c: geometry.rotate(c, angle)))(batch))
+    for i in range(4):
+        np.testing.assert_array_equal(
+            out[i], np.asarray(geometry.rotate(batch[i], angle))
+        )

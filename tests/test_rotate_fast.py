@@ -1,8 +1,13 @@
 """rotate_fast (3-shear): spec conformance + geometric agreement with the
-exact rotation."""
+exact rotation. The op is DEPRECATED (ops.rotate dominates it); these tests
+pin its behavior for compat and assert the deprecation surface."""
+
+import warnings
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.filterwarnings("ignore::DeprecationWarning")
 
 from imageprocessingtools_tpu.golden import model as golden
 from imageprocessingtools_tpu.ops.shear_rotate import rotate_fast
@@ -64,3 +69,17 @@ def test_gray_input():
     g = golden.grayscale(make_image(20, 24, seed=3))
     out = np.asarray(rotate_fast(g, 33))
     assert out.ndim == 2 and out.shape == golden.rotate(g, 33).shape
+
+
+def test_rotate_fast_deprecation_surface():
+    """Calling it warns; it is gone from the public ops/API exports."""
+    import imageprocessingtools_tpu as ipt
+    from imageprocessingtools_tpu import ops
+
+    assert not hasattr(ops, "rotate_fast")
+    assert not hasattr(ipt, "rotate_fast")
+    img = make_image(8, 8, seed=0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        with pytest.raises(DeprecationWarning):
+            rotate_fast(img, 30)

@@ -1,13 +1,18 @@
 """Per-op device throughput table (run on TPU: `python tools/profile_ops.py`).
 
-Prints one line per op: ms/iter and GPix/s over a 4K input, measured with
-the on-device loop harness (see utils/timing.py for methodology).
+Window-robust methodology (round 3, after PROFILE_r02's gray/mono rows froze
+a contended window): the whole table is measured in N_PASSES separate passes
+spaced PASS_GAP_S apart; each row reports the MIN across passes (the chip is
+a time-shared slice — min over spaced windows is the only defensible
+point estimate, per CLAUDE.md) plus the per-pass values and the max/min
+spread so a reader can see the contention for themselves.
 """
 
 from __future__ import annotations
 
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -16,11 +21,14 @@ import numpy as np
 import imageprocessingtools_tpu as ipt
 from imageprocessingtools_tpu.kernels.fused import (
     fused_pipeline_pallas,
+    fused_pipeline_pallas_mega,
     fused_pipeline_xla,
 )
 from imageprocessingtools_tpu.utils.timing import device_loop_rate
 
 H, W = 2160, 3840
+N_PASSES = 5
+PASS_GAP_S = 8.0
 
 
 # Measured C reference wall times at 4K, seconds (BASELINE.md; end-to-end
@@ -36,59 +44,118 @@ _C_BASELINE_S = {
 }
 
 
+def _op_table():
+    import jax
+
+    from imageprocessingtools_tpu.kernels import pallas_core as pk
+    from imageprocessingtools_tpu.ops.histogram import apply_lut, histogram
+
+    rng = np.random.default_rng(7)
+    lut = jnp_lut = None
+    import jax.numpy as jnp
+
+    jnp_lut = jnp.asarray(rng.integers(0, 256, 256, dtype=np.uint8))
+
+    vrot_1080 = jax.jit(jax.vmap(lambda c: ipt.rotate(c, 30)))
+    vrot_4k = jax.jit(jax.vmap(lambda c: ipt.rotate(c, 30)))
+
+    return [
+        # (name, body, input_shape_override, images_per_iter)
+        ("grayscale", lambda c: ipt.grayscale(c), None, 1),
+        ("mono_dither", lambda c: ipt.mono_dither(c), None, 1),
+        ("flip_v", lambda c: ipt.flip_vertical(c), None, 1),
+        ("flip_h", lambda c: ipt.flip_horizontal(c), None, 1),
+        ("rot90", lambda c: ipt.rotate(c, 90), None, 1),
+        ("rotate30", lambda c: ipt.rotate(c, 30), None, 1),
+        ("rotate30 b=4 1080p", lambda c: vrot_1080(c), (4, 1080, 1920, 3), 4),
+        ("rotate30 b=2 4K", lambda c: vrot_4k(c), (2, H, W, 3), 2),
+        ("resize->1920", lambda c: ipt.resize_width(c, 1920), None, 1),
+        ("invert", lambda c: ipt.invert(c), None, 1),
+        ("brightness", lambda c: ipt.brightness(c, 25), None, 1),
+        ("contrast", lambda c: ipt.contrast(c, 1.4), None, 1),
+        ("threshold", lambda c: ipt.threshold(c, 128), None, 1),
+        ("gray+box", lambda c: ipt.box_blur(ipt.grayscale(c)), None, 1),
+        ("gray+sharpen", lambda c: ipt.sharpen(ipt.grayscale(c)), None, 1),
+        ("gray+gauss5", lambda c: ipt.gaussian_blur(ipt.grayscale(c)), None, 1),
+        ("gray+sobel", lambda c: ipt.sobel(ipt.grayscale(c)), None, 1),
+        ("gray+equalize", lambda c: ipt.equalize_histogram(ipt.grayscale(c)), None, 1),
+        ("hist XLA", lambda c: histogram(c[:, :, 0]), None, 1),
+        ("hist pallas", lambda c: pk.histogram_pallas(c[:, :, 0]), None, 1),
+        ("lut XLA", lambda c: apply_lut(c[:, :, 0], jnp_lut), None, 1),
+        ("lut pallas", lambda c: pk.lut_apply_pallas(c[:, :, 0], jnp_lut), None, 1),
+        ("fused XLA", fused_pipeline_xla, None, 1),
+        ("fused pallas", fused_pipeline_pallas, None, 1),
+        ("fused mega", fused_pipeline_pallas_mega, None, 1),
+    ]
+
+
 def main() -> None:
     import json
 
     rng = np.random.default_rng(0)
-    img = rng.integers(0, 256, size=(H, W, 3), dtype=np.uint8)
-    mpix = H * W / 1e6
+    base_img = rng.integers(0, 256, size=(H, W, 3), dtype=np.uint8)
+    inputs = {}
 
-    ops = [
-        ("grayscale", lambda c: ipt.grayscale(c)),
-        ("mono_dither", lambda c: ipt.mono_dither(c)),
-        ("flip_v", lambda c: ipt.flip_vertical(c)),
-        ("flip_h", lambda c: ipt.flip_horizontal(c)),
-        ("rot90", lambda c: ipt.rotate(c, 90)),
-        ("rotate30", lambda c: ipt.rotate(c, 30)),
-        ("rotate_fast30", lambda c: ipt.rotate_fast(c, 30)),
-        ("resize->1920", lambda c: ipt.resize_width(c, 1920)),
-        ("invert", lambda c: ipt.invert(c)),
-        ("brightness", lambda c: ipt.brightness(c, 25)),
-        ("contrast", lambda c: ipt.contrast(c, 1.4)),
-        ("threshold", lambda c: ipt.threshold(c, 128)),
-        ("gray+box", lambda c: ipt.box_blur(ipt.grayscale(c))),
-        ("gray+sharpen", lambda c: ipt.sharpen(ipt.grayscale(c))),
-        ("gray+gauss5", lambda c: ipt.gaussian_blur(ipt.grayscale(c))),
-        ("gray+sobel", lambda c: ipt.sobel(ipt.grayscale(c))),
-        ("gray+equalize", lambda c: ipt.equalize_histogram(ipt.grayscale(c))),
-        ("fused XLA", fused_pipeline_xla),
-        ("fused pallas", fused_pipeline_pallas),
-    ]
+    ops = _op_table()
+    passes: dict[str, list[float]] = {name: [] for name, *_ in ops}
+    errors: dict[str, str] = {}
+
+    for p in range(N_PASSES):
+        for name, body, shape, _n_img in ops:
+            if name in errors:
+                continue
+            if shape is not None and name not in inputs:
+                inputs[name] = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            img = inputs.get(name, base_img)
+            try:
+                iters = 3 if "rotate" in name else 10
+                sec = device_loop_rate(body, img, iters=iters, repeats=2)
+                passes[name].append(sec)
+            except Exception as e:  # keep profiling resilient per-op
+                errors[name] = f"{type(e).__name__}: {e}"[:200]
+                print(f"{name:20s} FAILED: {errors[name]}")
+        print(f"# pass {p + 1}/{N_PASSES} done", flush=True)
+        if p + 1 < N_PASSES:
+            time.sleep(PASS_GAP_S)
+
+    mpix = H * W / 1e6
     table = {}
-    for name, body in ops:
-        try:
-            iters = 3 if "rotate" in name else 10
-            sec = device_loop_rate(body, img, iters=iters)
-            row = {
-                "ms": round(sec * 1e3, 3),
-                "gpix_per_s": round(mpix / sec / 1e3, 3),
-            }
-            if name in _C_BASELINE_S:
-                row["c_reference_s"] = _C_BASELINE_S[name]
-                row["vs_c_same_work"] = round(_C_BASELINE_S[name] / sec, 1)
-            table[name] = row
-            print(f"{name:16s} {sec * 1e3:9.3f} ms  {mpix / sec / 1e3:8.2f} GPix/s"
-                  + (f"  ({row['vs_c_same_work']}x C)" if name in _C_BASELINE_S else ""))
-        except Exception as e:  # keep profiling resilient per-op
-            print(f"{name:16s} FAILED: {type(e).__name__}: {e}")
-            table[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    for name, _body, shape, n_img in ops:
+        if name in errors:
+            table[name] = {"error": errors[name]}
+            continue
+        vals = passes[name]
+        sec = min(vals) / n_img  # per image
+        row_mpix = (
+            mpix if shape is None
+            else shape[1] * shape[2] / 1e6
+        )
+        row = {
+            "ms": round(sec * 1e3, 3),
+            "gpix_per_s": round(row_mpix / sec / 1e3, 3),
+            "passes_ms": [round(v / n_img * 1e3, 3) for v in vals],
+            "spread_max_over_min": round(max(vals) / min(vals), 2),
+        }
+        if name in _C_BASELINE_S:
+            row["c_reference_s"] = _C_BASELINE_S[name]
+            row["vs_c_same_work"] = round(_C_BASELINE_S[name] / sec, 1)
+        table[name] = row
+        print(
+            f"{name:20s} {sec * 1e3:9.3f} ms  {row['gpix_per_s']:8.2f} GPix/s"
+            f"  spread {row['spread_max_over_min']}x"
+            + (f"  ({row['vs_c_same_work']}x C)" if name in _C_BASELINE_S else "")
+        )
     if "--json" in sys.argv:
         out = {
-            "note": ("per-op device rates at 4K, on-device loop harness; "
-                     "C reference numbers are end-to-end CLI wall times "
-                     "(BASELINE.md) on the 1-vCPU host — same work per "
-                     "image, the C has no op-only mode. The chip is a "
-                     "time-shared slice; rates vary between windows."),
+            "note": (
+                "per-op device rates at 4K (batched rows: per image at the "
+                "row's own shape); each row = MIN over "
+                f"{N_PASSES} passes spaced {PASS_GAP_S}s apart (time-shared "
+                "chip — see passes_ms / spread for the contention). C "
+                "reference numbers are end-to-end CLI wall times "
+                "(BASELINE.md) on the 1-vCPU host — same work per image, "
+                "the C has no op-only mode."
+            ),
             "dims": [H, W],
             "ops": table,
         }
