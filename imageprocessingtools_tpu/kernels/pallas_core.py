@@ -9,14 +9,14 @@ Design notes (see /opt/skills/guides/pallas_guide.md):
   edge rows, matching `ops.stencil`'s replicate padding bit-exactly.
 - All arithmetic is the integer-exact spec from `ops/stencil.py`, so pallas
   and XLA paths are interchangeable bit-for-bit.
-- The histogram/LUT kernels use the same nibble-one-hot MXU contraction as
-  `ops/histogram.py`. CAVEAT (found in round 2): their [TR, W] -> [TR*W, 1]
-  reshape is rejected by the current Mosaic compiler on real TPUs
-  ("infer-vector-layout: unsupported shape cast"), so on hardware they
-  transparently fall back to the XLA ops (identical trick and results,
-  measured at parity); the in-kernel forms remain the reference and run
-  under interpret mode in CI. The stencil/elementwise/gray+gauss kernels
-  compile and run on hardware.
+- The histogram/LUT kernels use the nibble-one-hot MXU trick of
+  `ops/histogram.py`, re-formulated in round 3 (slab-expanded LANE-major
+  one-hots — design comment above `_expand_rows16`) so they compile and
+  run ON HARDWARE: the round-2 sublane-major form needed a
+  [TR, W] -> [TR*W, 1] reshape Mosaic rejects. Measured same-run at 4K
+  in the loop harness, the in-kernel histogram BEATS the XLA nibble op
+  (9.5 vs 11.5 ms) and the LUT apply is at parity (8.1 vs 8.1); the
+  gray+gauss+hist mega-kernel is bit-identical to the XLA pipeline.
 - Kernels run in interpret mode off-TPU so the CPU suite covers them.
 """
 

@@ -341,7 +341,16 @@ def pallas_profitable(height: int, width: int, angle: float) -> bool:
     dispatch only routes here for fitting, narrow-block geometries.
     """
     plan = _pallas_plan(height, width, float(angle), _TILE_G, _TILE_L)
-    return plan is not None and plan[3] == 128
+    if plan is None or plan[3] != 128:
+        return False
+    # The per-angle tuning table (tools/rotate_autotune.py) can veto a
+    # bucket where the probe showed the kernel losing to tuned XLA.
+    table = _g._load_rotation_tuning()
+    if table:
+        ent = table.get("buckets", {}).get(_g._tuning_bucket(angle))
+        if ent and ent.get("pallas_ok") is False:
+            return False
+    return True
 
 
 def rotate_blocked_pallas(img, angle: float, interpret: bool | None = None):

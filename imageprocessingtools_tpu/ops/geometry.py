@@ -465,6 +465,53 @@ def _rotate_apply_blocked(
     return out[:, :, 0] if squeeze else out
 
 
+# ---------------------------------------------------------------------------
+# Per-angle tile tuning. The block geometry (bh, bw, dot K) depends on the
+# FOLDED angle, and the hardware probe (tools/rotate_autotune.py, run once
+# per chip generation) shows different (G, L) winners per angle regime.
+# The table is keyed by 10-degree folded-angle buckets; absent table or
+# non-TPU backends use the static 4K/30deg probe winners (_BLOCK_G/_L).
+# ---------------------------------------------------------------------------
+
+_TUNING_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "kernels", "rotate_tuning.json",
+)
+
+
+@functools.lru_cache(maxsize=1)
+def _load_rotation_tuning():
+    import json
+
+    try:
+        with open(_TUNING_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _tuning_bucket(angle: float) -> str:
+    folded = _exact.fold_angle(float(angle) % 360.0)
+    return str(min(int(folded // 10.0), 8))
+
+
+def _tuned_gl(angle: float):
+    """(G, L) override for this angle's bucket, or None for the defaults.
+
+    Applied only on the TPU backend (the table is a hardware probe) and
+    looked up by the caller only for images near the probed size class.
+    """
+    if jax.default_backend() != "tpu":
+        return None
+    table = _load_rotation_tuning()
+    if not table:
+        return None
+    ent = table.get("buckets", {}).get(_tuning_bucket(angle))
+    if not ent:
+        return None
+    return int(ent["G"]), int(ent["L"])
+
+
 def _rotate_blocked(img, angle: float, G: int | None = None, L: int | None = None):
     """Blocked-path dispatch; returns None when the plan doesn't apply.
 
@@ -654,7 +701,15 @@ def rotate(img: jnp.ndarray, angle_deg: float, strict: bool = False) -> jnp.ndar
             pallas_out = None
         if pallas_out is not None:
             return pallas_out
-    blocked = _rotate_blocked(img, angle)
+    tuned = (
+        _tuned_gl(angle)
+        if img.shape[0] * img.shape[1] >= 1_500_000
+        else None
+    )
+    blocked = (
+        _rotate_blocked(img, angle, *tuned) if tuned
+        else _rotate_blocked(img, angle)
+    )
     if blocked is not None:
         return blocked
     new_h, new_w, ax, bx, ay, by, xc, yc = _rotation_geometry(

@@ -303,3 +303,43 @@ def test_vmapped_rotation_matches_per_image(shape, angle):
         np.testing.assert_array_equal(
             out[i], np.asarray(geometry.rotate(batch[i], angle))
         )
+
+
+def test_tuned_gl_plumbing(monkeypatch, tmp_path):
+    """Tuning-table lookups: off on CPU backends; bucket keying by folded
+    angle; explicit (G, L) produce identical zone decisions (same math,
+    different tiling)."""
+    import json
+
+    # CPU backend -> no tuning regardless of table presence.
+    assert geometry._tuned_gl(30.0) is None
+
+    # Bucketing: folded-angle bands of 10 degrees.
+    assert geometry._tuning_bucket(5) == "0"
+    assert geometry._tuning_bucket(175) == "0"   # folds to 5
+    assert geometry._tuning_bucket(30) == "3"
+    assert geometry._tuning_bucket(330) == "3"   # folds to 30
+    assert geometry._tuning_bucket(89.9) == "8"
+
+    # A non-default (G, L) stays inside the +-1 budget vs the default path
+    # (identical double-f32 decisions; only the matmul tiling differs).
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, size=(200, 300, 3), dtype=np.uint8)
+    a = np.asarray(geometry._rotate_blocked(img, 30.0)).astype(np.int64)
+    b_out = geometry._rotate_blocked(img, 30.0, 8, 128)
+    assert b_out is not None
+    b = np.asarray(b_out).astype(np.int64)
+    assert a.shape == b.shape
+    assert np.abs(a - b).max() <= 1
+
+    # Table loader: malformed file -> None (graceful), then cache-cleared.
+    geometry._load_rotation_tuning.cache_clear()
+    monkeypatch.setattr(geometry, "_TUNING_PATH",
+                        str(tmp_path / "nope.json"))
+    assert geometry._load_rotation_tuning() is None
+    geometry._load_rotation_tuning.cache_clear()
+    p = tmp_path / "t.json"
+    p.write_text(json.dumps({"buckets": {"3": {"G": 8, "L": 128}}}))
+    monkeypatch.setattr(geometry, "_TUNING_PATH", str(p))
+    assert geometry._load_rotation_tuning()["buckets"]["3"]["G"] == 8
+    geometry._load_rotation_tuning.cache_clear()

@@ -66,6 +66,10 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=256)
     ap.add_argument("--unique", type=int, default=32)
     ap.add_argument("--dims", default="1080x1920")
+    ap.add_argument("--mixed-dims", default=None,
+                    help="second shape (HxW): adds --mixed-n files of it so "
+                         "bucketing/recompile paths are exercised")
+    ap.add_argument("--mixed-n", type=int, default=0)
     ap.add_argument("--op", default="gray", choices=sorted(CONFIGS))
     ap.add_argument("--max-batch", type=int, default=64)
     ap.add_argument("--ab", action="store_true",
@@ -76,22 +80,39 @@ def main() -> None:
     h, w = (int(t) for t in args.dims.split("x"))
     os.makedirs(args.workdir, exist_ok=True)
     rng = np.random.default_rng(0)
-    uniq = []
-    for i in range(args.unique):
-        p = os.path.join(args.workdir, f"img_{h}x{w}_{i:04d}.ppm")
-        if not os.path.exists(p):
-            with open(p, "wb") as f:
-                f.write(ppm.encode_ppm(
-                    rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)))
-        uniq.append(p)
+
+    def gen_files(hh, ww, count):
+        out = []
+        for i in range(count):
+            p = os.path.join(args.workdir, f"img_{hh}x{ww}_{i:04d}.ppm")
+            if not os.path.exists(p):
+                with open(p, "wb") as f:
+                    f.write(ppm.encode_ppm(
+                        rng.integers(0, 256, size=(hh, ww, 3), dtype=np.uint8)))
+            out.append(p)
+        return out
+
+    uniq = gen_files(h, w, args.unique)
     paths = [uniq[i % len(uniq)] for i in range(args.n)]
+    n_mixed = 0
+    if args.mixed_dims and args.mixed_n:
+        h2, w2 = (int(t) for t in args.mixed_dims.split("x"))
+        uniq2 = gen_files(h2, w2, min(args.mixed_n, max(args.unique // 2, 1)))
+        mixed = [uniq2[i % len(uniq2)] for i in range(args.mixed_n)]
+        # Interleave so chunks of both buckets alternate through the queues.
+        step = max(len(paths) // (len(mixed) + 1), 1)
+        for k, p in enumerate(mixed):
+            paths.insert(min((k + 1) * step + k, len(paths)), p)
+        n_mixed = len(mixed)
     config = CONFIGS[args.op]
-    mpix = args.n * h * w / 1e6
+    mpix = (args.n * h * w + (n_mixed * h2 * w2 if n_mixed else 0)) / 1e6
 
     report = {
-        "n_images": args.n,
+        "n_images": len(paths),
+        "n_mixed_shape": n_mixed,
         "unique_files": args.unique,
         "dims": [h, w],
+        "mixed_dims": args.mixed_dims,
         "op": args.op,
         "max_batch": args.max_batch,
         "tunnel": _tunnel_bandwidth(),
@@ -102,7 +123,9 @@ def main() -> None:
     # backed VM memory) while recycled arena pages run at DRAM speed, so
     # components are measured on the SECOND call — the serving loop reuses
     # freed arena pages after its first chunk, making that the steady state.
-    chunk = paths[: args.max_batch]
+    # Component probe uses primary-shape files only (decode_batch is
+    # same-shape by contract; mixed shapes are bucketed in the real run).
+    chunk = (uniq * (args.max_batch // len(uniq) + 1))[: args.max_batch]
     buffers = [open(p, "rb").read() for p in chunk]
     t_dec = []
     batch = None
@@ -147,15 +170,26 @@ def main() -> None:
     serving.process_files(paths[: args.max_batch], config,
                           max_batch=args.max_batch, suffix=".warm")
 
+    import resource
+
+    rss_before_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
     t0 = time.perf_counter()
     outs = serving.process_files(paths, config, max_batch=args.max_batch)
     wall = time.perf_counter() - t0
-    assert len(outs) == args.n
+    assert len(outs) == len(paths)
+    rss_peak_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    chunk_bytes = args.max_batch * h * w * 3
 
     report.update({
         "end_to_end_wall_s": round(wall, 2),
         "end_to_end_mpix_s": round(mpix / wall, 1),
-        "images_per_s": round(args.n / wall, 2),
+        "images_per_s": round(len(paths) / wall, 2),
+        "peak_rss_mb": round(rss_peak_kb / 1024, 1),
+        "rss_before_run_mb": round(rss_before_kb / 1024, 1),
+        "chunk_payload_mb": round(chunk_bytes / 1e6, 1),
+        "rss_note": ("peak RSS must stay ~O(5 chunks) + runtime baseline "
+                     "regardless of file count (bounded queues; the header "
+                     "pass reads 64 KB prefixes only)"),
         "c_reference_mpix_s": 1.6,  # BASELINE.md -gray 4K end-to-end
         "vs_c_reference_end_to_end": round(mpix / wall / 1.6, 1),
         "note": ("end-to-end is bounded by the ~10 MB/s TPU tunnel of this "
