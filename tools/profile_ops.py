@@ -60,15 +60,21 @@ def _op_table():
     vrot_4k = jax.jit(jax.vmap(lambda c: ipt.rotate(c, 30)))
 
     return [
-        # (name, body, input_shape_override, images_per_iter)
+        # (name, body, input_shape_override, images_per_iter[, method])
+        # method "dispatch": eager jitted dispatch + tiny fetch (includes
+        # the ~tens-of-ms tunnel RTT — reported as rtt_floor_ms); used for
+        # the rotation rows because XLA takes >10 min to compile some
+        # rotation-inside-fori_loop programs (see CLAUDE.md).
         ("grayscale", lambda c: ipt.grayscale(c), None, 1),
         ("mono_dither", lambda c: ipt.mono_dither(c), None, 1),
         ("flip_v", lambda c: ipt.flip_vertical(c), None, 1),
         ("flip_h", lambda c: ipt.flip_horizontal(c), None, 1),
         ("rot90", lambda c: ipt.rotate(c, 90), None, 1),
-        ("rotate30", lambda c: ipt.rotate(c, 30), None, 1),
-        ("rotate30 b=4 1080p", lambda c: vrot_1080(c), (4, 1080, 1920, 3), 4),
-        ("rotate30 b=2 4K", lambda c: vrot_4k(c), (2, H, W, 3), 2),
+        ("rotate30", lambda c: ipt.rotate(c, 30), None, 1, "dispatch"),
+        ("rotate30 b=4 1080p", lambda c: vrot_1080(c), (4, 1080, 1920, 3), 4,
+         "dispatch"),
+        ("rotate30 b=2 4K", lambda c: vrot_4k(c), (2, H, W, 3), 2,
+         "dispatch"),
         ("resize->1920", lambda c: ipt.resize_width(c, 1920), None, 1),
         ("invert", lambda c: ipt.invert(c), None, 1),
         ("brightness", lambda c: ipt.brightness(c, 25), None, 1),
@@ -89,27 +95,62 @@ def _op_table():
     ]
 
 
+def _dispatch_rate(body, img_dev, repeats: int = 8) -> float:
+    """Seconds per eager jitted dispatch + tiny dependent fetch (min)."""
+    import jax.numpy as jnp
+
+    def fetch(x):
+        np.asarray(jnp.ravel(x)[:1])
+
+    fetch(body(img_dev))  # compile + warm
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fetch(body(img_dev))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
 def main() -> None:
     import json
+
+    import jax
+    import jax.numpy as jnp
 
     rng = np.random.default_rng(0)
     base_img = rng.integers(0, 256, size=(H, W, 3), dtype=np.uint8)
     inputs = {}
+    dev_inputs = {}
 
-    ops = _op_table()
+    noop = jax.jit(lambda x: x[:1, :1, :1] + 1)
+    base_dev = jax.device_put(base_img)
+    np.asarray(jnp.ravel(noop(base_dev))[:1])
+    rtts = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        np.asarray(jnp.ravel(noop(base_dev))[:1])
+        rtts.append(time.perf_counter() - t0)
+    rtt_floor_ms = round(min(rtts) * 1e3, 2)
+
+    ops = [row if len(row) == 5 else (*row, "loop") for row in _op_table()]
     passes: dict[str, list[float]] = {name: [] for name, *_ in ops}
     errors: dict[str, str] = {}
 
     for p in range(N_PASSES):
-        for name, body, shape, _n_img in ops:
+        for name, body, shape, _n_img, method in ops:
             if name in errors:
                 continue
             if shape is not None and name not in inputs:
                 inputs[name] = rng.integers(0, 256, size=shape, dtype=np.uint8)
             img = inputs.get(name, base_img)
             try:
-                iters = 3 if "rotate" in name else 10
-                sec = device_loop_rate(body, img, iters=iters, repeats=2)
+                if method == "dispatch":
+                    if name not in dev_inputs:
+                        dev_inputs[name] = jax.device_put(img)
+                    sec = _dispatch_rate(body, dev_inputs[name])
+                else:
+                    iters = 3 if "rotate" in name else 10
+                    sec = device_loop_rate(body, img, iters=iters, repeats=2)
                 passes[name].append(sec)
             except Exception as e:  # keep profiling resilient per-op
                 errors[name] = f"{type(e).__name__}: {e}"[:200]
@@ -120,7 +161,7 @@ def main() -> None:
 
     mpix = H * W / 1e6
     table = {}
-    for name, _body, shape, n_img in ops:
+    for name, _body, shape, n_img, method in ops:
         if name in errors:
             table[name] = {"error": errors[name]}
             continue
@@ -135,6 +176,7 @@ def main() -> None:
             "gpix_per_s": round(row_mpix / sec / 1e3, 3),
             "passes_ms": [round(v / n_img * 1e3, 3) for v in vals],
             "spread_max_over_min": round(max(vals) / min(vals), 2),
+            "method": method,
         }
         if name in _C_BASELINE_S:
             row["c_reference_s"] = _C_BASELINE_S[name]
@@ -142,7 +184,7 @@ def main() -> None:
         table[name] = row
         print(
             f"{name:20s} {sec * 1e3:9.3f} ms  {row['gpix_per_s']:8.2f} GPix/s"
-            f"  spread {row['spread_max_over_min']}x"
+            f"  spread {row['spread_max_over_min']}x  [{method}]"
             + (f"  ({row['vs_c_same_work']}x C)" if name in _C_BASELINE_S else "")
         )
     if "--json" in sys.argv:
@@ -151,12 +193,17 @@ def main() -> None:
                 "per-op device rates at 4K (batched rows: per image at the "
                 "row's own shape); each row = MIN over "
                 f"{N_PASSES} passes spaced {PASS_GAP_S}s apart (time-shared "
-                "chip — see passes_ms / spread for the contention). C "
-                "reference numbers are end-to-end CLI wall times "
+                "chip — see passes_ms / spread for the contention). "
+                "method=loop rows use the on-device fori_loop harness "
+                "(tunnel excluded); method=dispatch rows (rotation — its "
+                "in-loop XLA compile can exceed 10 min) are eager jitted "
+                "dispatches whose times INCLUDE the tunnel RTT floor "
+                "below. C reference numbers are end-to-end CLI wall times "
                 "(BASELINE.md) on the 1-vCPU host — same work per image, "
                 "the C has no op-only mode."
             ),
             "dims": [H, W],
+            "dispatch_rtt_floor_ms": rtt_floor_ms,
             "ops": table,
         }
         with open(sys.argv[sys.argv.index("--json") + 1], "w") as f:
