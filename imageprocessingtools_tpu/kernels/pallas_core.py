@@ -13,10 +13,11 @@ Design notes (see /opt/skills/guides/pallas_guide.md):
   `ops/histogram.py`, re-formulated in round 3 (slab-expanded LANE-major
   one-hots — design comment above `_expand_rows16`) so they compile and
   run ON HARDWARE: the round-2 sublane-major form needed a
-  [TR, W] -> [TR*W, 1] reshape Mosaic rejects. Measured same-run at 4K
-  in the loop harness, the in-kernel histogram BEATS the XLA nibble op
-  (9.5 vs 11.5 ms) and the LUT apply is at parity (8.1 vs 8.1); the
-  gray+gauss+hist mega-kernel is bit-identical to the XLA pipeline.
+  [TR, W] -> [TR*W, 1] reshape Mosaic rejects. Clean-harness same-run
+  numbers at 4K (PROFILE_r03): histogram 0.21 ms (parity with the XLA
+  nibble op), LUT apply 0.13 vs 0.28 ms (2.1x the XLA op), and the
+  gray+gauss+hist mega-kernel 1.18 vs 1.38 ms against the fused XLA
+  pipeline (bit-identical output; bench.py ships it).
 - Kernels run in interpret mode off-TPU so the CPU suite covers them.
 """
 

@@ -44,6 +44,33 @@ def device_loop_rate(body, img, iters: int = 20, repeats: int = 3) -> float:
     def loop(x, n):
         def b(_, carry):
             out = body(carry)
+            if (
+                out.ndim == 2
+                and len(shape) == 3
+                and out.shape == shape[:2]
+                and shape[2] == 3
+            ):
+                # Layout-friendly feedback for the common [H, W] -> HWC
+                # case: stack + rolls (bench.py's form, ~0.35 ms at 4K).
+                # The general ravel/tile reconstruction below forces a
+                # linearization that conflicts with the tiled physical
+                # layout and costs ~7.6 ms at 4K (measured) — it would
+                # dominate every sub-8 ms op's row.
+                out = out.astype(jnp.uint8)
+                return jnp.stack(
+                    [out, jnp.roll(out, 1, axis=0), jnp.roll(out, 7, axis=1)],
+                    axis=-1,
+                )
+            if (
+                out.ndim == 1
+                and len(shape) == 2
+                and shape[1] % out.shape[0] == 0
+            ):
+                # 1-D outputs (e.g. a histogram): tile only to one row and
+                # broadcast down H — tiling a tiny pattern to the full
+                # image is ~17 ms of relayout (lore).
+                row = jnp.tile(out.astype(jnp.uint8), shape[1] // out.shape[0])
+                return jnp.broadcast_to(row[None, :], shape)
             flat = jnp.ravel(out.astype(jnp.uint8))
             reps = -(-need // flat.shape[0])
             return jnp.tile(flat, reps)[:need].reshape(shape)

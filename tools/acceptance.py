@@ -102,6 +102,14 @@ def main() -> None:
         "devices": n,
         "batch": int(batch.shape[0]),
         "matches_single_device": bool((outs[0] == single).all()),
+        "note": (
+            "this environment exposes ONE real TPU chip, so on hardware "
+            "this config exercises the batched/vmapped path on a 1-device "
+            "mesh only; actual multi-device sharding (DP x SP, halo "
+            "exchange, row-group split) is validated on the 8-virtual-"
+            "device CPU mesh by dryrun_multichip and MULTICHIP_HLO_r03"
+            if n == 1 else "sharded over %d devices" % n
+        ),
     }
 
     # 6. REFERENCE op: arbitrary rotation (blocked MXU path). Parity vs the

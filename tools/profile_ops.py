@@ -70,6 +70,14 @@ def _op_table():
         ("flip_v", lambda c: ipt.flip_vertical(c), None, 1),
         ("flip_h", lambda c: ipt.flip_horizontal(c), None, 1),
         ("rot90", lambda c: ipt.rotate(c, 90), None, 1),
+        # Same math on planar [3, H, W] input: isolates grayscale's
+        # arithmetic from the loop harness's tile-padded [H, W, 3]
+        # intermediate (the (W, 3) minor dims pad ~42x on TPU — lore), so
+        # the gap between this row and the grayscale row is attributable
+        # to that layout tax, not the op.
+        ("gray (planar in)", lambda p: (
+            p[0].astype("int32") + p[1].astype("int32")
+            + p[2].astype("int32")) // 3, (3, H, W), 1),
         ("rotate30", lambda c: ipt.rotate(c, 30), None, 1, "dispatch"),
         ("rotate30 b=4 1080p", lambda c: vrot_1080(c), (4, 1080, 1920, 3), 4,
          "dispatch"),
@@ -85,10 +93,12 @@ def _op_table():
         ("gray+gauss5", lambda c: ipt.gaussian_blur(ipt.grayscale(c)), None, 1),
         ("gray+sobel", lambda c: ipt.sobel(ipt.grayscale(c)), None, 1),
         ("gray+equalize", lambda c: ipt.equalize_histogram(ipt.grayscale(c)), None, 1),
-        ("hist XLA", lambda c: histogram(c[:, :, 0]), None, 1),
-        ("hist pallas", lambda c: pk.histogram_pallas(c[:, :, 0]), None, 1),
-        ("lut XLA", lambda c: apply_lut(c[:, :, 0], jnp_lut), None, 1),
-        ("lut pallas", lambda c: pk.lut_apply_pallas(c[:, :, 0], jnp_lut), None, 1),
+        # hist/LUT rows run on a 2-D gray input (their real operand); the
+        # 1-D histogram output feeds back via a row broadcast.
+        ("hist XLA", lambda c: histogram(c), (H, W), 1),
+        ("hist pallas", lambda c: pk.histogram_pallas(c), (H, W), 1),
+        ("lut XLA", lambda c: apply_lut(c, jnp_lut), (H, W), 1),
+        ("lut pallas", lambda c: pk.lut_apply_pallas(c, jnp_lut), (H, W), 1),
         ("fused XLA", fused_pipeline_xla, None, 1),
         ("fused pallas", fused_pipeline_pallas, None, 1),
         ("fused mega", fused_pipeline_pallas_mega, None, 1),
@@ -149,7 +159,11 @@ def main() -> None:
                         dev_inputs[name] = jax.device_put(img)
                     sec = _dispatch_rate(body, dev_inputs[name])
                 else:
-                    iters = 3 if "rotate" in name else 10
+                    # Sub-ms ops need many iterations to rise above the
+                    # ~tens-of-ms tunnel RTT noise floor of one fetch;
+                    # 80 iterations keeps even 0.1 ms rows at ~10x the
+                    # window jitter while multi-ms rows stay quick.
+                    iters = 3 if "rotate" in name else 80
                     sec = device_loop_rate(body, img, iters=iters, repeats=2)
                 passes[name].append(sec)
             except Exception as e:  # keep profiling resilient per-op
@@ -169,7 +183,8 @@ def main() -> None:
         sec = min(vals) / n_img  # per image
         row_mpix = (
             mpix if shape is None
-            else shape[1] * shape[2] / 1e6
+            else (shape[0] * shape[1] if len(shape) == 2
+                  else shape[1] * shape[2]) / 1e6
         )
         row = {
             "ms": round(sec * 1e3, 3),
@@ -178,6 +193,21 @@ def main() -> None:
             "spread_max_over_min": round(max(vals) / min(vals), 2),
             "method": method,
         }
+        if sec * 1e3 < 0.05:
+            row["below_resolution"] = True
+            row["note"] = ("op is below the loop harness's resolution in "
+                           "at least one window; treat ms/gpix as a bound, "
+                           "not a measurement")
+        if name in ("grayscale", "mono_dither"):
+            row["note"] = (
+                "inside-pipeline cost: the stack+roll loop feedback lets "
+                "XLA fuse the op with the feedback into one elementwise "
+                "pass, so no HWC intermediate materializes — which is also "
+                "how the op runs inside real pipelines. 'gray (planar in)' "
+                "shows the arithmetic floor. (A ravel/tile feedback "
+                "instead measures a ~15 ms HWC relayout tax — a harness "
+                "artifact that polluted PROFILE_r02's gray/mono rows.)"
+            )
         if name in _C_BASELINE_S:
             row["c_reference_s"] = _C_BASELINE_S[name]
             row["vs_c_same_work"] = round(_C_BASELINE_S[name] / sec, 1)
