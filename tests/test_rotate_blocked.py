@@ -311,8 +311,20 @@ def test_tuned_gl_plumbing(monkeypatch, tmp_path):
     different tiling)."""
     import json
 
-    # CPU backend -> no tuning regardless of table presence.
-    assert geometry._tuned_gl(30.0) is None
+    import jax
+
+    if jax.default_backend() == "tpu":
+        # On hardware the committed probe table answers (if present).
+        table = geometry._load_rotation_tuning()
+        got = geometry._tuned_gl(30.0)
+        if table:
+            ent = table["buckets"].get(geometry._tuning_bucket(30.0))
+            assert got == ((ent["G"], ent["L"]) if ent else None)
+        else:
+            assert got is None
+    else:
+        # CPU backend -> no tuning regardless of table presence.
+        assert geometry._tuned_gl(30.0) is None
 
     # Bucketing: folded-angle bands of 10 degrees.
     assert geometry._tuning_bucket(5) == "0"
