@@ -164,7 +164,8 @@ def _write_p4(out_path: str, packed_rows: np.ndarray, height: int,
     """Write a P4 whose payload rows are already device-packed bytes."""
     header = b"P4\n" + ppm.GENERATED_COMMENT + b"%d %d\n" % (width, height)
     with open(out_path, "wb") as f:
-        f.write(header + packed_rows.tobytes())
+        f.write(header)
+        f.write(np.ascontiguousarray(packed_rows).data)
 
 
 def _encode_chunk(idxs, out_np, file_type, unpacked, paths, metas, suffix,
