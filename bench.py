@@ -76,10 +76,12 @@ def main() -> None:
     img = jax.device_put(rng.integers(0, 256, size=(H, W, 3), dtype=np.uint8))
 
     # Flagship variant: the Pallas MEGA kernel (gray+gauss+hist in ONE VMEM
-    # pass) — measured 0.982 vs 1.341 ms same-run against the XLA pipeline
-    # at 4K in this very harness (round 3). Mosaic has shipped silent
-    # shape-dependent limitations before, so ANY failure to compile/run it
-    # falls back to the XLA pipeline rather than failing the bench.
+    # pass, Pallas slab LUT apply, block_rows=32) — 0.982 vs 1.341 ms
+    # same-run against the XLA pipeline at 4K in this very harness, then
+    # 14/14 interleaved rounds at 0.69x after the round-3 tune pass
+    # (MEGA_TUNE_r03.json). Mosaic has shipped silent shape-dependent
+    # limitations before, so ANY failure to compile/run it falls back to
+    # the XLA pipeline rather than failing the bench.
     from imageprocessingtools_tpu.kernels.fused import (
         fused_pipeline_pallas_mega,
         fused_pipeline_xla,

@@ -8,7 +8,10 @@ swaps the Gaussian stage for the tiled Pallas kernel;
 `fused_pipeline_pallas_mega` runs gray+gauss+hist in ONE VMEM pass. All
 variants are bit-identical. Since round 3 the MEGA form is the flagship:
 0.982 vs 1.341 ms same-run at 4K in bench.py's harness (the in-kernel
-slab histogram beats the XLA nibble op and the blurred image is read once).
+slab histogram beats the XLA nibble op and the blurred image is read
+once); the round-3 tune pass (MEGA_TUNE_r03.json) then moved the LUT
+stage onto the Pallas slab kernel and block_rows to 32 — median 0.72-0.75
+ms, 14/14 interleaved hardware rounds under the previous flagship form.
 """
 
 from __future__ import annotations
@@ -54,17 +57,23 @@ def fused_pipeline_pallas(img: jnp.ndarray) -> jnp.ndarray:
 def fused_pipeline_pallas_mega(img: jnp.ndarray) -> jnp.ndarray:
     """Mega-kernel variant: gray + Gaussian + histogram in ONE Pallas pass
     (planar loads, tile histogram accumulated across grid steps), then the
-    XLA nibble-MXU LUT apply. Saves the gray round trip and the separate
-    histogram read vs `fused_pipeline_pallas`. Bit-identical output.
+    Pallas slab LUT-apply kernel (PROFILE_r03: 0.13 vs 0.28 ms for the XLA
+    nibble op; the swap won 14/14 interleaved hardware rounds at 0.69x the
+    XLA-LUT form, MEGA_TUNE_r03.json). Saves the gray round trip and the
+    separate histogram read vs `fused_pipeline_pallas`. Bit-identical
+    output.
     """
-    from imageprocessingtools_tpu.kernels.pallas_core import gray_gauss_hist_pallas
+    from imageprocessingtools_tpu.kernels.pallas_core import (
+        gray_gauss_hist_pallas,
+        lut_apply_pallas,
+    )
 
     blurred, hist = gray_gauss_hist_pallas(img)
     n_pixels = 1
     for d in blurred.shape:
         n_pixels *= int(d)
     lut = _equalize_lut(hist, n_pixels)
-    return apply_lut(blurred, lut)
+    return lut_apply_pallas(blurred, lut)
 
 
 fused_gray_gauss_histeq = jax.jit(fused_pipeline_xla)

@@ -632,7 +632,9 @@ def gray_gauss_hist_pallas(img: jnp.ndarray, block_rows: int | None = None):
     if img.shape[0] * img.shape[1] >= 2**24:
         raise ValueError("gray_gauss_hist_pallas requires H*W < 2^24")
     h0, w = int(img.shape[0]), int(img.shape[1])
-    br = _resolve_block_rows(h0, block_rows, radius=2, default=16)
+    # default=32 from the round-3 hardware rank sweep (MEGA_TUNE_r03.json):
+    # br=32 beat br=16 in 14/14 interleaved rounds at 4K (median 0.90x).
+    br = _resolve_block_rows(h0, block_rows, radius=2, default=32)
     br = max(8, br - br % 8)  # slab processing needs 8-row multiples
     if w % 128 or h0 < 8:
         from imageprocessingtools_tpu.ops.histogram import histogram as _xla_hist
