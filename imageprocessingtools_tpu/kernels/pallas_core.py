@@ -317,6 +317,32 @@ def _hist_slab_counts(ref, tr: int, w: int, valid_rows=None):
     return lax.fori_loop(0, tr // 8, body, jnp.zeros((128, 128), jnp.float32))
 
 
+def _hist_slab_counts_reg(tile_i32, tr: int, w: int, valid_rows=None):
+    """`_hist_slab_counts` over an in-register int32[tr, w] tile.
+
+    Statically unrolled (tr//8 chained dots; cheap — the expensive unroll
+    in the session lore was 64 per-row dot chains, this is one slab dot per
+    8 rows), with STATIC sublane slices instead of ref loads. Lets the
+    mega-kernel histogram the blurred tile without reading the output
+    block back from VMEM.
+    """
+    iota_m16 = lax.broadcasted_iota(jnp.int32, (128, w), 0) & 15
+    acc = jnp.zeros((128, 128), jnp.float32)
+    for s in range(tr // 8):
+        slab = tile_i32[s * 8 : s * 8 + 8, :]
+        ex = _expand_rows16(slab)
+        if valid_rows is not None:
+            rows = s * 8 + (lax.broadcasted_iota(jnp.int32, (128, w), 0) >> 4)
+            ex = jnp.where(valid_rows(rows), ex, -1)
+        hi = ((ex >> 4) == iota_m16).astype(jnp.bfloat16)
+        lo = ((ex & 15) == iota_m16).astype(jnp.bfloat16)
+        acc = acc + lax.dot_general(
+            hi, lo, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    return acc
+
+
 def _fold_diag_blocks(big: jnp.ndarray) -> jnp.ndarray:
     """Sum the 8 diagonal 16x16 blocks of [128, 128] -> int32[256]."""
     blocks = big.reshape(8, 16, 8, 16)
@@ -536,8 +562,9 @@ def gray_gauss_pallas(img: jnp.ndarray, block_rows: int | None = None):
     return blurred[:h0]
 
 
-def _gray_gauss_hist_kernel(h_real, r_prev, g_prev, b_prev, r_cur, g_cur,
-                            b_cur, r_next, g_next, b_next, out_ref, hist_ref):
+def _gray_gauss_hist_kernel(h_real, hist_from_reg, r_prev, g_prev, b_prev,
+                            r_cur, g_cur, b_cur, r_next, g_next, b_next,
+                            out_ref, hist_ref):
     step = pl.program_id(0)
     n_steps = pl.num_programs(0)
     tr, w = r_cur.shape
@@ -572,12 +599,16 @@ def _gray_gauss_hist_kernel(h_real, r_prev, g_prev, b_prev, r_cur, g_cur,
     out_ref[:] = blurred.astype(jnp.uint8)
 
     # In-kernel histogram of the blurred tile (slab-expanded lane-major
-    # nibble dots — see the histogram design comment); rows are read back
-    # from the just-written output block; edge-replicated pad rows beyond
-    # the real image are masked out (expanded value -1 matches no nibble).
-    counts = _hist_slab_counts(
-        out_ref, tr, w,
-        valid_rows=lambda rows: (step * tr + rows) < h_real)
+    # nibble dots — see the histogram design comment); edge-replicated pad
+    # rows beyond the real image are masked out (expanded value -1 matches
+    # no nibble). `hist_from_reg` sources the counts from the in-register
+    # tile (static slab unroll) instead of reading the just-written output
+    # block back from VMEM.
+    mask = lambda rows: (step * tr + rows) < h_real
+    if hist_from_reg:
+        counts = _hist_slab_counts_reg(blurred, tr, w, valid_rows=mask)
+    else:
+        counts = _hist_slab_counts(out_ref, tr, w, valid_rows=mask)
 
     @pl.when(step == 0)
     def _():
@@ -588,8 +619,9 @@ def _gray_gauss_hist_kernel(h_real, r_prev, g_prev, b_prev, r_cur, g_cur,
         hist_ref[:] = hist_ref[:] + counts
 
 
-@functools.partial(jax.jit, static_argnames=("block_rows",))
-def _gray_gauss_hist_call(img: jnp.ndarray, block_rows: int):
+@functools.partial(jax.jit, static_argnames=("block_rows", "hist_from_reg"))
+def _gray_gauss_hist_call(img: jnp.ndarray, block_rows: int,
+                          hist_from_reg: bool = False):
     h0, w = img.shape[0], img.shape[1]
     br = block_rows
     planes = []
@@ -601,7 +633,7 @@ def _gray_gauss_hist_call(img: jnp.ndarray, block_rows: int):
     halo = _halo_specs(br, w, n)
     in_specs = [halo[0]] * 3 + [halo[1]] * 3 + [halo[2]] * 3
     blurred, big = pl.pallas_call(
-        functools.partial(_gray_gauss_hist_kernel, h0),
+        functools.partial(_gray_gauss_hist_kernel, h0, hist_from_reg),
         grid=(n,),
         in_specs=in_specs,
         out_specs=[
@@ -617,7 +649,8 @@ def _gray_gauss_hist_call(img: jnp.ndarray, block_rows: int):
     return blurred[:h0], _fold_diag_blocks(big)
 
 
-def gray_gauss_hist_pallas(img: jnp.ndarray, block_rows: int | None = None):
+def gray_gauss_hist_pallas(img: jnp.ndarray, block_rows: int | None = None,
+                           hist_from_reg: bool = False):
     """(blurred-gray, histogram) in ONE Pallas VMEM pass — the flagship
     mega-kernel, fully in-kernel on hardware since round 3 (grayscale fused
     into the Gaussian's tile loads, histogram accumulated across grid steps
@@ -641,4 +674,4 @@ def gray_gauss_hist_pallas(img: jnp.ndarray, block_rows: int | None = None):
 
         blurred = gray_gauss_pallas(img, block_rows=block_rows)
         return blurred, _xla_hist(blurred)
-    return _gray_gauss_hist_call(img, br)
+    return _gray_gauss_hist_call(img, br, hist_from_reg)

@@ -101,6 +101,23 @@ def test_mega_kernel_bit_identical(shape):
     )
 
 
+@pytest.mark.parametrize("shape", [(64, 128, 3), (40, 256, 3)])
+def test_mega_kernel_reghist_variant(shape):
+    """hist_from_reg=True (register-tile histogram, static slab unroll)
+    must be bit-identical to the ref-readback form and the XLA ops."""
+    from imageprocessingtools_tpu.kernels.pallas_core import gray_gauss_hist_pallas
+    from imageprocessingtools_tpu.ops.color import grayscale
+    from imageprocessingtools_tpu.ops.histogram import histogram
+    from imageprocessingtools_tpu.ops.stencil import gaussian_blur
+
+    rng = np.random.default_rng(shape[0])
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    blurred, hist = gray_gauss_hist_pallas(img, hist_from_reg=True)
+    expected = gaussian_blur(grayscale(img))
+    np.testing.assert_array_equal(np.asarray(blurred), np.asarray(expected))
+    np.testing.assert_array_equal(np.asarray(hist), np.asarray(histogram(expected)))
+
+
 def test_mega_kernel_hist_matches_ops():
     from imageprocessingtools_tpu.kernels.pallas_core import gray_gauss_hist_pallas
     from imageprocessingtools_tpu.ops.color import grayscale

@@ -35,9 +35,10 @@ from imageprocessingtools_tpu.utils.timing import device_loop_rate
 H, W = 2160, 3840
 
 
-def mega_pipeline(br: int | None, pallas_lut: bool):
+def mega_pipeline(br: int | None, pallas_lut: bool, hist_from_reg: bool = False):
     def f(img):
-        blurred, hist = gray_gauss_hist_pallas(img, block_rows=br)
+        blurred, hist = gray_gauss_hist_pallas(
+            img, block_rows=br, hist_from_reg=hist_from_reg)
         n_pixels = 1
         for d in blurred.shape:
             n_pixels *= int(d)

@@ -29,18 +29,25 @@ def main() -> None:
 
     configs = {
         "flagship_br16_xla_lut": mega_pipeline(16, False),
-        "br24_xla_lut": mega_pipeline(24, False),
-        "br32_xla_lut": mega_pipeline(32, False),
-        "br24_pallas_lut": mega_pipeline(24, True),
         "br32_pallas_lut": mega_pipeline(32, True),
+        "br32_pallas_lut_reghist": mega_pipeline(32, True, hist_from_reg=True),
+        "br48_pallas_lut": mega_pipeline(48, True),
+        "br64_pallas_lut": mega_pipeline(64, True),
+        "br64_pallas_lut_reghist": mega_pipeline(64, True, hist_from_reg=True),
         "xla_pipeline": fused_pipeline_xla,
     }
+    failed = {}
+    for n in list(configs):  # compile + parity gate
+        try:
+            out = np.asarray(jax.jit(configs[n])(img))
+            assert (out == ref).all(), f"{n}: NOT bit-identical"
+            device_loop_rate(configs[n], img, iters=4, repeats=1)  # warm
+        except Exception as e:
+            failed[n] = str(e)[:200]
+            del configs[n]
+            print(f"{n}: DROPPED ({failed[n][:100]})", flush=True)
     names = list(configs)
-    for n in names:  # compile + parity gate
-        out = np.asarray(jax.jit(configs[n])(img))
-        assert (out == ref).all(), n
-        device_loop_rate(configs[n], img, iters=4, repeats=1)  # warm loops
-    print("all bit-identical; warmed", flush=True)
+    print("surviving configs bit-identical; warmed", flush=True)
 
     rounds = 14
     times: dict[str, list[float]] = {n: [] for n in names}
@@ -54,7 +61,8 @@ def main() -> None:
 
     base = "flagship_br16_xla_lut"
     doc = {"shape": [H, W, 3], "rounds": rounds,
-           "wall_s": round(time.time() - t0, 1), "report": {}}
+           "wall_s": round(time.time() - t0, 1), "failed": failed,
+           "report": {}}
     arr = {n: np.array(times[n]) for n in names}
     order = np.zeros((rounds, len(names)))
     for r in range(rounds):
