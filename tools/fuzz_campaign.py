@@ -1,0 +1,164 @@
+"""Large randomized CLI differential campaign vs the C reference binary.
+
+Same flag-combination rules and comparison budgets as
+tests/test_fuzz_differential.py (B1 combos avoided; exact combos compared
+byte-for-byte; float combos under the documented +-1 with P4 skipped), but
+with FRESH seeds and a much larger case count, run as a one-off evidence
+campaign (FUZZ_CAMPAIGN_r03.json). CPU backend for the in-process CLI.
+
+    python tools/fuzz_campaign.py [n_small] [n_mid]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from imageprocessingtools_tpu.codec import ppm  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ORACLE = os.path.join(REPO, ".cache", "ppmx_ref")
+
+
+def _random_args(rng):
+    args = []
+    resize = rng.random() < 0.4
+    rot = rng.random() < 0.5
+    if resize:
+        args.append(f"-w{int(rng.integers(1, 40))}")
+    if rot:
+        args.append(f"-r{int(rng.integers(0, 360))}")
+    color = rng.integers(0, 3)
+    if color == 1:
+        args.append("-gray")
+    elif color == 2:
+        args.append("-mono")
+    flip = rng.integers(0, 3)
+    if flip and (resize or rot or color == 0):
+        if color == 0 or resize or rot:
+            args.append("-fv" if flip == 1 else "-fh")
+    if not args:
+        args.append("-gray")
+    rng.shuffle(args)
+    return args
+
+
+def _has_float_op(args):
+    return any(
+        a.startswith("-w")
+        or (a.startswith("-r") and a[2:] not in ("0", "90", "180", "270"))
+        for a in args
+    )
+
+
+def run_case(seed: int, lo: int, hi: int, workdir: str):
+    rng = np.random.default_rng(seed)
+    h = int(rng.integers(lo, hi))
+    w = int(rng.integers(lo, hi))
+    img = np.random.default_rng(seed ^ 0xABCD).integers(
+        0, 256, (h, w, 3), dtype=np.uint8)
+    args = _random_args(rng)
+    data = ppm.encode_ppm(img)
+
+    ref_in = os.path.join(workdir, "ref.ppm")
+    with open(ref_in, "wb") as f:
+        f.write(data)
+    r = subprocess.run([ORACLE, *args, ref_in], capture_output=True)
+    ref_out = None
+    if os.path.exists(ref_in + ".out"):
+        with open(ref_in + ".out", "rb") as f:
+            ref_out = f.read()
+        os.remove(ref_in + ".out")
+
+    our_in = os.path.join(workdir, "ours.ppm")
+    with open(our_in, "wb") as f:
+        f.write(data)
+    o = subprocess.run(
+        [sys.executable, "-m", "imageprocessingtools_tpu.cli", *args, our_in],
+        capture_output=True, cwd=REPO,
+        env={**os.environ, "IPT_PLATFORM": "cpu"})
+    our_out = None
+    if os.path.exists(our_in + ".out"):
+        with open(our_in + ".out", "rb") as f:
+            our_out = f.read()
+        os.remove(our_in + ".out")
+
+    case = {"seed": seed, "h": h, "w": w, "args": args}
+    if o.returncode != r.returncode or o.stdout != r.stdout:
+        case["fail"] = {"ref": [r.returncode, r.stdout.decode("latin1")],
+                        "ours": [o.returncode, o.stdout.decode("latin1")]}
+        return case, "surface_mismatch"
+    if r.returncode != 0:
+        return case, "error_case_matched"
+    if not _has_float_op(args):
+        if our_out != ref_out:
+            case["fail"] = "exact combo bytes differ"
+            return case, "byte_mismatch"
+        return case, "byte_identical"
+    if ref_out[:2] == b"P4":
+        return case, "float_p4_skipped"
+    head_r, pay_r = ref_out.split(b"\n", 3)[:3], ref_out.split(b"\n", 3)[3]
+    head_o, pay_o = our_out.split(b"\n", 3)[:3], our_out.split(b"\n", 3)[3]
+    if head_r != head_o:
+        case["fail"] = "float combo header differs"
+        return case, "byte_mismatch"
+    a = np.frombuffer(pay_r, np.uint8).astype(np.int16)
+    b = np.frombuffer(pay_o, np.uint8).astype(np.int16)
+    if a.shape != b.shape or np.abs(a - b).max() > 1:
+        case["fail"] = f"float payload exceeds +-1 (max {np.abs(a-b).max()})"
+        return case, "budget_exceeded"
+    case["maxdiff"] = int(np.abs(a - b).max())
+    return case, "within_pm1"
+
+
+def main():
+    n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 160
+    n_mid = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+    if not os.path.exists(ORACLE):
+        subprocess.run(["gcc", "-O2", "-o", ORACLE,
+                        "/root/reference/ppmx-edward.c", "-lm"], check=True)
+    t0 = time.time()
+    tally: dict[str, int] = {}
+    failures = []
+    with tempfile.TemporaryDirectory() as workdir:
+        for i in range(n_small):
+            case, verdict = run_case(50_000 + i, 4, 40, workdir)
+            tally[verdict] = tally.get(verdict, 0) + 1
+            if "fail" in case:
+                failures.append(case)
+        for i in range(n_mid):
+            case, verdict = run_case(60_000 + i, 120, 320, workdir)
+            tally[verdict] = tally.get(verdict, 0) + 1
+            if "fail" in case:
+                failures.append(case)
+    doc = {
+        "date": "2026-08-17",
+        "command": f"python tools/fuzz_campaign.py {n_small} {n_mid}",
+        "n_cases": n_small + n_mid,
+        "small_range_px": [4, 40],
+        "mid_range_px": [120, 320],
+        "seeds": "fresh (50000+/60000+ base; disjoint from the CI suite's 1000+)",
+        "tally": tally,
+        "failures": failures,
+        "wall_s": round(time.time() - t0, 1),
+    }
+    json.dump(doc, sys.stdout, indent=2)
+    print()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
