@@ -120,8 +120,15 @@ def plan_resize(height: int, width: int, new_width: int) -> ResizePlan:
     scale_w = float(new_width) / float(width)
     new_height = int(float(height) * scale_w)  # truncation, not rounding (:1099)
     if new_height < 1:
-        # Hardened: the reference would UB on a 0-row contributions array.
-        raise ValueError("invalid option for new width\n")
+        # Degenerate downscale (height*new_width < width -> truncated
+        # new_height 0). The reference's failure here is deterministic on
+        # the oracle platform and asserted by the differential suite:
+        # scale 0 -> k_width = 4.0/0.0 = inf (:533), P = (int)ceil(inf)+2
+        # = INT_MIN+2 (:535), and the first P-sized malloc to run with
+        # out_size 0 rows is ind2store's (:595), whose huge size_t fails
+        # -> "error: allocating ind2store", exit 255. Found by the 200-case
+        # fresh-seed campaign (FUZZ_CAMPAIGN_r03.json, seed 50022).
+        raise ValueError("error: allocating ind2store\n")
     scale_h = float(new_height) / float(height)
 
     contrib_h = calc_contributions(height, new_height, scale_h)

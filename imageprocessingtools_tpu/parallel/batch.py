@@ -53,7 +53,30 @@ def _jitted_vmap(fn, mesh: Mesh, axis_name: str):
 
 
 def batched_fused_pipeline(images, mesh: Mesh | None = None, axis_name: str = "data"):
-    """Sharded batched flagship pipeline: uint8[N,H,W,3] -> uint8[N,H,W]."""
-    from imageprocessingtools_tpu.kernels.fused import fused_pipeline_xla
+    """Sharded batched flagship pipeline: uint8[N,H,W,3] -> uint8[N,H,W].
 
-    return batch_apply(fused_pipeline_xla, images, mesh=mesh, axis_name=axis_name)
+    On a single-device TPU mesh with >= 2 MPix images the vmapped Pallas
+    mega kernel carries the batch (bit-identical; 0.77x median vs the
+    vmapped XLA form at 1080p b=4 over 10 interleaved hardware rounds —
+    BATCH_MEGA_r03.json; at 512x512 the two are statistically tied, and
+    multi-device meshes stay on the XLA form, which is the only config
+    hardware-validated under GSPMD batch partitioning).
+    """
+    from imageprocessingtools_tpu.kernels.fused import (
+        fused_pipeline_pallas_mega,
+        fused_pipeline_xla,
+    )
+
+    if mesh is None:
+        mesh = default_mesh(axis_name)
+    h, w = int(images.shape[1]), int(images.shape[2])
+    use_mega = (
+        jax.default_backend() == "tpu"
+        and len(np.asarray(mesh.devices).ravel()) == 1
+        and h * w >= 2_000_000
+        and w % 128 == 0
+        and h * w < 2**24
+        and h >= 8
+    )
+    fn = fused_pipeline_pallas_mega if use_mega else fused_pipeline_xla
+    return batch_apply(fn, images, mesh=mesh, axis_name=axis_name)

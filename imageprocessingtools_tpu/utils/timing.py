@@ -62,6 +62,19 @@ def device_loop_rate(body, img, iters: int = 20, repeats: int = 3) -> float:
                     axis=-1,
                 )
             if (
+                out.ndim == 3
+                and len(shape) == 4
+                and out.shape == shape[:3]
+                and shape[3] == 3
+            ):
+                # Batched [N, H, W] -> [N, H, W, 3]: same stack+roll
+                # feedback, vectorized over the batch dim.
+                out = out.astype(jnp.uint8)
+                return jnp.stack(
+                    [out, jnp.roll(out, 1, axis=1), jnp.roll(out, 7, axis=2)],
+                    axis=-1,
+                )
+            if (
                 out.ndim == 1
                 and len(shape) == 2
                 and shape[1] % out.shape[0] == 0

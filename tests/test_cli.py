@@ -275,3 +275,44 @@ def test_random_arg_fuzz_differential(ref_runner, tmp_path, capsys, batch):
                 # compared above.
                 continue
             assert our_out == ref_out, (args,)
+
+
+def test_degenerate_height_resize_message_parity(ref_runner, tmp_path, capsys):
+    """Quirk B7 (found by the 200-case fresh-seed campaign, seed 50022):
+    a downscale whose truncated new_height is 0 (height*new_width < width)
+    makes the reference compute P = (int)ceil(4.0/0.0)+2 = INT_MIN+2 and
+    fail ind2store's huge malloc — deterministically on the oracle
+    platform: stdout "error: allocating ind2store", exit 255
+    (ppmx-edward.c:533,535,595). We reject with the identical surface.
+    The new_height == 1 boundary must still succeed in both."""
+    import os
+
+    from imageprocessingtools_tpu.codec import ppm
+    from tests.conftest import make_image
+
+    for h, w, nw, degenerate in [
+        (4, 18, 2, True),
+        (1, 30, 15, True),   # upscale-looking flag, still truncates to 0
+        (2, 9, 4, True),
+        (3, 100, 33, True),
+        (3, 100, 34, False),  # 3*34/100 = 1.02 -> new_height 1: succeeds
+        (4, 18, 5, False),    # 4*5/18 = 1.11 -> new_height 1: succeeds
+    ]:
+        img = make_image(h, w, seed=h * 100 + nw)
+        ref_code, ref_stdout, ref_out = ref_runner.run(
+            ppm.encode_ppm(img), [f"-w{nw}"])
+        p = os.path.join(str(tmp_path), f"deg{h}x{w}w{nw}.ppm")
+        ppm.write_ppm(p, img)
+        our_code = cli.main([f"-w{nw}", p])
+        our_stdout = capsys.readouterr().out
+        assert (our_code, our_stdout) == (ref_code, ref_stdout), (h, w, nw)
+        if degenerate:
+            assert ref_code == 255 and "ind2store" in ref_stdout, (h, w, nw)
+            assert not os.path.exists(p + ".out"), (h, w, nw)
+        else:
+            assert ref_code == 0, (h, w, nw)
+            with open(p + ".out", "rb") as f:
+                ours = f.read()
+            # resize carries the documented +-1 budget; compare headers and
+            # shape here (the fuzz/differential suites own the payload rule)
+            assert ours.split(b"\n", 3)[:3] == ref_out.split(b"\n", 3)[:3]
