@@ -37,6 +37,12 @@ def _random_args(rng):
             args.append("-fv" if flip == 1 else "-fh")
     if not args:
         args.append("-gray")
+    if "-r0" in args and len(args) > 1:
+        # B8: -r0 + any later stage is a use-after-free in the reference
+        # (the r0 alias is freed by the next renewBuffer) — garbage or a
+        # crash, proven in test_quirk_b8_documented / test_sanitizers.
+        # -r0 alone stays covered by test_r0_is_copy.
+        args[args.index("-r0")] = "-r1"
     rng.shuffle(args)
     return args
 

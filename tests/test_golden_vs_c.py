@@ -247,3 +247,39 @@ def test_rotate_arbitrary_tiny_dims(ref_runner, shape, angle):
     np.testing.assert_array_equal(
         np.frombuffer(payload, np.uint8).reshape(h, w, 3), expected
     )
+
+
+def test_quirk_b8_documented(ref_runner):
+    """B8 (found by the thin-class fuzz campaign, seed 70085): the -r0 fast
+    path ALIASES new_buff = buff (ppmx-edward.c:701-705); any later stage's
+    renewBuffer then frees buff — and the alias with it — so the stage
+    reads freed rows: deterministic garbage for -r0 -mono / -r0 -gray
+    (ASan: heap-use-after-free at :1000 in gray, see test_sanitizers), and
+    a crash for -r0 -fv on this platform. Like B1 we implement the
+    obviously-intended compose (-r0 is the identity); this test proves the
+    C bug exists so the divergence is intentional."""
+    img = make_image(12, 7, seed=8)
+
+    # the C's own -r0 -mono disagrees with its -mono (= the intended result)
+    code_a, _, out_a = ref_runner.run(_p6(img), ["-r0", "-mono"])
+    code_b, _, out_b = ref_runner.run(_p6(img), ["-mono"])
+    assert code_a == 0 and code_b == 0
+    assert out_a != out_b
+
+    # ours composes: -r0 -mono == -mono == the golden dither
+    import os
+    import tempfile
+
+    from imageprocessingtools_tpu import cli
+    from imageprocessingtools_tpu.codec import ppm as _ppm
+
+    with tempfile.TemporaryDirectory() as d:
+        outs = []
+        for args in (["-r0", "-mono"], ["-mono"]):
+            p = os.path.join(d, "b8.ppm")
+            _ppm.write_ppm(p, img)
+            assert cli.main(args + [p]) == 0
+            with open(p + ".out", "rb") as f:
+                outs.append(f.read())
+            os.remove(p + ".out")
+    assert outs[0] == outs[1] == out_b

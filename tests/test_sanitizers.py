@@ -66,3 +66,34 @@ def test_float_ops_produce_no_nans():
         np.asarray(ipt.sobel(ipt.grayscale(img)))
     finally:
         jax.config.update("jax_debug_nans", False)
+
+
+@pytest.fixture(scope="session")
+def asan_reference(tmp_path_factory):
+    """The REFERENCE binary compiled with ASan — used to prove quirk B8's
+    use-after-free at the binary level (evidence only; never an oracle)."""
+    out = str(tmp_path_factory.mktemp("san") / "ppmx_asan")
+    proc = subprocess.run(
+        ["gcc", "-O1", "-g", "-fsanitize=address", "-o", out,
+         "/root/reference/ppmx-edward.c", "-lm"],
+        capture_output=True, text=True,
+    )
+    if proc.returncode != 0:
+        pytest.skip(f"sanitizer build unavailable: {proc.stderr[:300]}")
+    return out
+
+
+def test_quirk_b8_use_after_free_proven(asan_reference, tmp_path):
+    """B8: -r0 aliases new_buff = buff; the next stage's renewBuffer frees
+    the alias and the stage reads freed rows. ASan pinpoints the read at
+    ppmx-edward.c:1000 (gray's buff[y][x] access)."""
+    from imageprocessingtools_tpu.codec import ppm
+
+    rng = np.random.default_rng(0)
+    p = str(tmp_path / "b8.ppm")
+    ppm.write_ppm(p, rng.integers(0, 256, (9, 11, 3), dtype=np.uint8))
+    r = subprocess.run([asan_reference, "-r0", "-gray", p],
+                       capture_output=True, text=True)
+    assert r.returncode != 0
+    assert "heap-use-after-free" in r.stderr
+    assert "in gray" in r.stderr

@@ -6,7 +6,10 @@ byte-for-byte; float combos under the documented +-1 with P4 skipped), but
 with FRESH seeds and a much larger case count, run as a one-off evidence
 campaign (FUZZ_CAMPAIGN_r03.json). CPU backend for the in-process CLI.
 
-    python tools/fuzz_campaign.py [n_small] [n_mid]
+    python tools/fuzz_campaign.py [n_small] [n_mid] [n_thin]
+
+The thin class (h or w in 1..3) plus near-width/upscale -w targets aim at
+the corner regions where quirk B7 was found.
 """
 
 from __future__ import annotations
@@ -33,12 +36,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ORACLE = os.path.join(REPO, ".cache", "ppmx_ref")
 
 
-def _random_args(rng):
+def _random_args(rng, width):
     args = []
     resize = rng.random() < 0.4
     rot = rng.random() < 0.5
     if resize:
-        args.append(f"-w{int(rng.integers(1, 40))}")
+        # mix absolute small widths with near-width and upscale targets
+        r = rng.random()
+        if r < 0.5:
+            args.append(f"-w{int(rng.integers(1, 40))}")
+        elif r < 0.8:
+            args.append(f"-w{max(1, int(width * rng.uniform(0.8, 1.2)))}")
+        else:
+            args.append(f"-w{max(1, int(width * rng.uniform(1.2, 3.0)))}")
     if rot:
         args.append(f"-r{int(rng.integers(0, 360))}")
     color = rng.integers(0, 3)
@@ -52,6 +62,11 @@ def _random_args(rng):
             args.append("-fv" if flip == 1 else "-fh")
     if not args:
         args.append("-gray")
+    if "-r0" in args and len(args) > 1:
+        # B8: -r0 + any later stage is a use-after-free in the reference
+        # (garbage output or crash; ASan-proven). Dedicated quirk tests
+        # own that combo; the campaign compares defined behavior only.
+        args[args.index("-r0")] = "-r1"
     rng.shuffle(args)
     return args
 
@@ -64,13 +79,22 @@ def _has_float_op(args):
     )
 
 
-def run_case(seed: int, lo: int, hi: int, workdir: str):
+def run_case(seed: int, lo: int, hi: int, workdir: str, thin: bool = False):
     rng = np.random.default_rng(seed)
-    h = int(rng.integers(lo, hi))
-    w = int(rng.integers(lo, hi))
+    if thin:
+        # Extreme aspect ratios: 1-3 rows (or columns) stress the degenerate
+        # resize corner (quirk B7), rotation bbox/zone math at minimum
+        # sizes, and the flip/dither paths on sub-tile shapes.
+        h = int(rng.integers(1, 4))
+        w = int(rng.integers(4, hi))
+        if rng.random() < 0.5:
+            h, w = w, h
+    else:
+        h = int(rng.integers(lo, hi))
+        w = int(rng.integers(lo, hi))
     img = np.random.default_rng(seed ^ 0xABCD).integers(
         0, 256, (h, w, 3), dtype=np.uint8)
-    args = _random_args(rng)
+    args = _random_args(rng, w)
     data = ppm.encode_ppm(img)
 
     ref_in = os.path.join(workdir, "ref.ppm")
@@ -127,6 +151,7 @@ def run_case(seed: int, lo: int, hi: int, workdir: str):
 def main():
     n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 160
     n_mid = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+    n_thin = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     if not os.path.exists(ORACLE):
         subprocess.run(["gcc", "-O2", "-o", ORACLE,
                         "/root/reference/ppmx-edward.c", "-lm"], check=True)
@@ -144,13 +169,19 @@ def main():
             tally[verdict] = tally.get(verdict, 0) + 1
             if "fail" in case:
                 failures.append(case)
+        for i in range(n_thin):
+            case, verdict = run_case(70_000 + i, 0, 200, workdir, thin=True)
+            tally[verdict] = tally.get(verdict, 0) + 1
+            if "fail" in case:
+                failures.append(case)
     doc = {
         "date": "2026-08-17",
-        "command": f"python tools/fuzz_campaign.py {n_small} {n_mid}",
-        "n_cases": n_small + n_mid,
+        "command": f"python tools/fuzz_campaign.py {n_small} {n_mid} {n_thin}",
+        "n_cases": n_small + n_mid + n_thin,
+        "thin_class": "h or w in 1..3, other dim 4..200 (extreme aspect)",
         "small_range_px": [4, 40],
         "mid_range_px": [120, 320],
-        "seeds": "fresh (50000+/60000+ base; disjoint from the CI suite's 1000+)",
+        "seeds": "fresh (50000+/60000+/70000+ bases; disjoint from the CI suite's 1000+)",
         "tally": tally,
         "failures": failures,
         "wall_s": round(time.time() - t0, 1),
