@@ -38,6 +38,9 @@ def main(argv: list[str] | None = None) -> int:
     i = 0
     while i < len(argv):
         a = argv[i]
+        if a == "--help":
+            sys.stderr.write(__doc__)
+            return 0
         if a == "--spatial":
             serve_opts["spatial"] = True
         elif a == "--sequential":
