@@ -661,6 +661,12 @@ def gray_gauss_hist_pallas(img: jnp.ndarray, block_rows: int | None = None,
     lane-pads non-multiple blocks with undefined data) and H*W < 2^24
     (exact f32 bin counts); other shapes take the two-step path
     (`gray_gauss_pallas` + the XLA nibble-MXU histogram, same results).
+
+    ``hist_from_reg`` histograms the in-register blurred tile (static slab
+    unroll) instead of reading the output block back from VMEM —
+    bit-identical, and measured statistically TIED with the readback form
+    on hardware (MEGA_TUNE_r03.json phase 3: the kernel is VPU+MXU
+    phase-bound, not readback-bound), so the default stays False.
     """
     if img.shape[0] * img.shape[1] >= 2**24:
         raise ValueError("gray_gauss_hist_pallas requires H*W < 2^24")

@@ -59,7 +59,7 @@ def main() -> None:
     configs: dict[str, object] = {"xla_pipeline": jax.jit(fused_pipeline_xla)}
     for br in (8, 16, 24, 32, 48, 64):
         configs[f"mega_br{br}"] = mega_pipeline(br, pallas_lut=False)
-    configs["mega_br_best_pallas_lut"] = None  # filled after the sweep
+    # the best-br + Pallas-LUT variant is measured after the sweep below
 
     report: dict[str, dict] = {}
     rates: dict[str, float] = {}
@@ -91,13 +91,11 @@ def main() -> None:
     # a contended window cannot bias a single config.
     t0 = time.time()
     for name in list(configs):
-        if configs[name] is None:
-            continue
         measure(name, configs[name], rounds=1, iters=4)  # compile + first row
     # refinement rounds, interleaved
     for rnd in range(3):
         for name in list(configs):
-            if configs[name] is None or "error" in report.get(name, {}):
+            if "error" in report.get(name, {}):
                 continue
             fn = configs[name]
             s = device_loop_rate(fn, img, iters=8, repeats=1) * 1e3
