@@ -161,6 +161,17 @@ def main(argv: list[str] | None = None) -> int:
         sys.stdout.write(message)
         log.emit("pipeline_error", file=filename, message=message.strip())
         return 255
+    except MemoryError:
+        # Backstop for allocation failure anywhere in the pipeline: the
+        # reference's every malloc site prints through CHECK_ERROR and
+        # exits 255 (ppmx-edward.c:31-36); the first to fail on oversized
+        # resizes is the indices table (:537). plan_resize's B9 bound
+        # rejects those before allocation — this catch keeps the B3 error
+        # surface (stdout message, exit 255, no traceback) even if the host
+        # runs out of memory on a nominally feasible case.
+        sys.stdout.write("error. allocating indices\n")
+        log.emit("pipeline_error", file=filename, message="MemoryError")
+        return 255
     log.emit("ok", file=filename, out=filename + ".out", file_type=file_type)
     return 0
 

@@ -38,13 +38,28 @@ def _repo_root() -> str:
     return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _load() -> ctypes.CDLL | None:
-    global _lib, _build_failed
-    with _lock:
-        if _lib is not None or _build_failed:
-            return _lib
-        src = os.path.join(os.path.dirname(os.path.abspath(__file__)), "csrc", "ppmcodec.cpp")
-        cache = os.path.join(_repo_root(), ".cache")
+def _cache_dirs() -> list[str]:
+    """Candidate .so cache dirs, most-preferred first.
+
+    The repo-checkout location comes first (keeps the dev workflow and the
+    test suite's single shared build); an installed package whose
+    site-packages parent is read-only falls through to the user cache.
+    IPT_CACHE_DIR overrides both.
+    """
+    env = os.environ.get("IPT_CACHE_DIR")
+    if env:
+        return [env]
+    return [
+        os.path.join(_repo_root(), ".cache"),
+        os.path.join(
+            os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+            "imageprocessingtools_tpu",
+        ),
+    ]
+
+
+def _build_so(src: str) -> str | None:
+    for cache in _cache_dirs():
         so_path = os.path.join(cache, "libppmcodec.so")
         try:
             if not os.path.exists(so_path) or os.path.getmtime(so_path) < os.path.getmtime(src):
@@ -54,8 +69,25 @@ def _load() -> ctypes.CDLL | None:
                     check=True,
                     capture_output=True,
                 )
-            lib = ctypes.CDLL(so_path)
+            return so_path
         except (OSError, subprocess.CalledProcessError):
+            continue
+    return None
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        src = os.path.join(os.path.dirname(os.path.abspath(__file__)), "csrc", "ppmcodec.cpp")
+        so_path = _build_so(src)
+        if so_path is None:
+            _build_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(so_path)
+        except OSError:
             _build_failed = True
             return None
         lib.ppmx_parse_header.restype = ctypes.c_int

@@ -23,6 +23,12 @@ from typing import NamedTuple
 
 import numpy as np
 
+# Quirk-B9 resource bound for -wN outputs (see plan_resize): per-dimension
+# and total-pixel caps standing in for the reference's platform-dependent
+# malloc failure at ppmx-edward.c:537.
+_MAX_RESIZE_DIM = 2**26
+_MAX_RESIZE_OUT_PX = 2**31
+
 KERNEL_WIDTH = 4.0  # bicubic support, ref doProcessPPM passes 4.0 (:1108-1109)
 
 
@@ -129,6 +135,26 @@ def plan_resize(height: int, width: int, new_width: int) -> ResizePlan:
         # -> "error: allocating ind2store", exit 255. Found by the 200-case
         # fresh-seed campaign (FUZZ_CAMPAIGN_r03.json, seed 50022).
         raise ValueError("error: allocating ind2store\n")
+    if (
+        new_height > _MAX_RESIZE_DIM
+        or int(new_width) > _MAX_RESIZE_DIM
+        or new_height * int(new_width) > _MAX_RESIZE_OUT_PX
+    ):
+        # Huge-output bound (quirk B9, found by direct probing of the huge
+        # -w corner): the reference's first per-output-row malloc is
+        # indices = malloc(out_size * sizeof(int*)) (ppmx-edward.c:537).
+        # For infeasible outputs the oracle platform's overcommit heuristic
+        # either rejects that malloc immediately -> stdout "error.
+        # allocating indices", exit 255 (observed: 200x10 -w999999999,
+        # whose (unsigned)(double) new_height wraps mod 2^32 to 2.8e9) or
+        # lets it succeed and grinds for minutes in O(out*P) loops before
+        # dying on first touch. The boundary between those two outcomes is
+        # the host's overcommit policy, not program logic, so we replace it
+        # with a deterministic bound and the C's fast-fail surface: any
+        # output dimension beyond 2^26 or more than 2^31 output pixels is
+        # rejected up front. Real resizes sit orders of magnitude below
+        # (a 16K x 16K output is 2.7e8 px).
+        raise ValueError("error. allocating indices\n")
     scale_h = float(new_height) / float(height)
 
     contrib_h = calc_contributions(height, new_height, scale_h)

@@ -316,3 +316,51 @@ def test_degenerate_height_resize_message_parity(ref_runner, tmp_path, capsys):
             # resize carries the documented +-1 budget; compare headers and
             # shape here (the fuzz/differential suites own the payload rule)
             assert ours.split(b"\n", 3)[:3] == ref_out.split(b"\n", 3)[:3]
+
+
+def test_huge_resize_allocation_message_parity(ref_runner, tmp_path, capsys):
+    """Quirk B9 (found by direct probing of the huge -w corner): infeasible
+    resize outputs hit the reference's indices malloc (ppmx-edward.c:537).
+    On the oracle platform the overcommit heuristic rejects truly enormous
+    requests immediately — stdout "error. allocating indices", exit 255 —
+    but lets moderately-huge ones through, after which the program grinds
+    for minutes in O(out*P) loops before dying on first touch. plan_resize
+    replaces that platform-dependent boundary with a deterministic bound
+    (dim > 2^26 or output > 2^31 px) and the C's fast-fail surface.
+
+    The differential leg only covers the fast-fail class (the 200x10 case:
+    its (unsigned)(double) new_height wraps mod 2^32 to ~2.8e9 rows and the
+    first malloc asks for >100 GB); the grind class is asserted our-side
+    only, since running the oracle there takes minutes by design."""
+    import os
+
+    from imageprocessingtools_tpu.codec import ppm
+    from tests.conftest import make_image
+
+    # differential: oracle fast-fails this one in well under a second
+    img = make_image(200, 10, seed=9001)
+    ref_code, ref_stdout, ref_out = ref_runner.run(
+        ppm.encode_ppm(img), ["-w999999999"])
+    assert ref_code == 255 and ref_stdout == "error. allocating indices\n"
+    p = os.path.join(str(tmp_path), "huge.ppm")
+    ppm.write_ppm(p, img)
+    our_code = cli.main(["-w999999999", p])
+    our_stdout = capsys.readouterr().out
+    assert (our_code, our_stdout) == (ref_code, ref_stdout)
+    assert not os.path.exists(p + ".out")
+
+    # grind class: ours must reject with the same surface, instantly
+    for h, w, nw in [(100, 7, 400000000), (5, 6, 100000), (2, 5, 500000000)]:
+        img = make_image(h, w, seed=h * 7 + nw % 97)
+        q = os.path.join(str(tmp_path), f"huge{h}x{w}.ppm")
+        ppm.write_ppm(q, img)
+        our_code = cli.main([f"-w{nw}", q])
+        our_stdout = capsys.readouterr().out
+        assert (our_code, our_stdout) == (255, "error. allocating indices\n"), (h, w, nw)
+        assert not os.path.exists(q + ".out"), (h, w, nw)
+
+    # the bound must not clip feasible large-but-real outputs
+    from imageprocessingtools_tpu.ops import _exact
+
+    plan = _exact.plan_resize(2160, 3840, 16384)  # 4K -> 16K upscale
+    assert plan.new_height == 9216
