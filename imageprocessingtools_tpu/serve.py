@@ -94,12 +94,15 @@ def main(argv: list[str] | None = None) -> int:
                 max_batch=serve_opts["max_batch"],
                 overlap=serve_opts["overlap"],
             )
-    except (PPMError, ValueError, OSError) as e:
+    except (PPMError, ValueError, OSError, MemoryError) as e:
         if isinstance(e, PPMError):
             message = e.message
         elif isinstance(e, OSError):
             # Match the single-image CLI's open-failure message (quirk B3).
             message = "error. can not open file\n"
+        elif isinstance(e, MemoryError):
+            # Allocation-failure backstop, same surface as cli.main (B9).
+            message = "error. allocating indices\n"
         else:
             message = str(e)
         sys.stdout.write(message)

@@ -6,7 +6,7 @@ byte-for-byte; float combos under the documented +-1 with P4 skipped), but
 with FRESH seeds and a much larger case count, run as a one-off evidence
 campaign (FUZZ_CAMPAIGN_r03.json). CPU backend for the in-process CLI.
 
-    python tools/fuzz_campaign.py [n_small] [n_mid] [n_thin]
+    python tools/fuzz_campaign.py [n_small] [n_mid] [n_thin] [seed_base]
 
 The thin class (h or w in 1..3) plus near-width/upscale -w targets aim at
 the corner regions where quirk B7 was found.
@@ -152,6 +152,7 @@ def main():
     n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 160
     n_mid = int(sys.argv[2]) if len(sys.argv) > 2 else 40
     n_thin = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    seed_base = int(sys.argv[4]) if len(sys.argv) > 4 else 0
     if not os.path.exists(ORACLE):
         subprocess.run(["gcc", "-O2", "-o", ORACLE,
                         "/root/reference/ppmx-edward.c", "-lm"], check=True)
@@ -160,28 +161,28 @@ def main():
     failures = []
     with tempfile.TemporaryDirectory() as workdir:
         for i in range(n_small):
-            case, verdict = run_case(50_000 + i, 4, 40, workdir)
+            case, verdict = run_case(seed_base + 50_000 + i, 4, 40, workdir)
             tally[verdict] = tally.get(verdict, 0) + 1
             if "fail" in case:
                 failures.append(case)
         for i in range(n_mid):
-            case, verdict = run_case(60_000 + i, 120, 320, workdir)
+            case, verdict = run_case(seed_base + 60_000 + i, 120, 320, workdir)
             tally[verdict] = tally.get(verdict, 0) + 1
             if "fail" in case:
                 failures.append(case)
         for i in range(n_thin):
-            case, verdict = run_case(70_000 + i, 0, 200, workdir, thin=True)
+            case, verdict = run_case(seed_base + 70_000 + i, 0, 200, workdir, thin=True)
             tally[verdict] = tally.get(verdict, 0) + 1
             if "fail" in case:
                 failures.append(case)
     doc = {
         "date": "2026-08-17",
-        "command": f"python tools/fuzz_campaign.py {n_small} {n_mid} {n_thin}",
+        "command": f"python tools/fuzz_campaign.py {n_small} {n_mid} {n_thin} {seed_base}",
         "n_cases": n_small + n_mid + n_thin,
         "thin_class": "h or w in 1..3, other dim 4..200 (extreme aspect)",
         "small_range_px": [4, 40],
         "mid_range_px": [120, 320],
-        "seeds": "fresh (50000+/60000+/70000+ bases; disjoint from the CI suite's 1000+)",
+        "seeds": f"fresh (base {seed_base}: {seed_base+50000}+/{seed_base+60000}+/{seed_base+70000}+; disjoint from the CI suite's 1000+)",
         "tally": tally,
         "failures": failures,
         "wall_s": round(time.time() - t0, 1),
