@@ -25,6 +25,7 @@ if os.environ.get("IPT_PLATFORM"):
 import numpy as np
 
 from imageprocessingtools_tpu.codec.ppm import PPMError, read_ppm, write_ppm
+from imageprocessingtools_tpu.ops import _exact
 from imageprocessingtools_tpu.pipeline import PipelineConfig, run_pipeline
 from imageprocessingtools_tpu.utils import log
 
@@ -169,7 +170,7 @@ def main(argv: list[str] | None = None) -> int:
         # rejects those before allocation — this catch keeps the B3 error
         # surface (stdout message, exit 255, no traceback) even if the host
         # runs out of memory on a nominally feasible case.
-        sys.stdout.write("error. allocating indices\n")
+        sys.stdout.write(_exact.B9_MESSAGE)
         log.emit("pipeline_error", file=filename, message="MemoryError")
         return 255
     log.emit("ok", file=filename, out=filename + ".out", file_type=file_type)

@@ -41,34 +41,48 @@ def _repo_root() -> str:
 def _cache_dirs() -> list[str]:
     """Candidate .so cache dirs, most-preferred first.
 
-    The repo-checkout location comes first (keeps the dev workflow and the
-    test suite's single shared build); an installed package whose
-    site-packages parent is read-only falls through to the user cache.
-    IPT_CACHE_DIR overrides both.
+    A source checkout (identified by its `.git`) uses the repo-local
+    `.cache/` — the dev workflow and the test suite's single shared build.
+    An installed package uses the XDG user cache instead, never writing
+    into site-packages. IPT_CACHE_DIR overrides both.
     """
     env = os.environ.get("IPT_CACHE_DIR")
     if env:
         return [env]
-    return [
-        os.path.join(_repo_root(), ".cache"),
+    dirs = []
+    root = _repo_root()
+    if os.path.exists(os.path.join(root, ".git")):
+        dirs.append(os.path.join(root, ".cache"))
+    dirs.append(
         os.path.join(
             os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
             "imageprocessingtools_tpu",
-        ),
-    ]
+        )
+    )
+    return dirs
 
 
 def _build_so(src: str) -> str | None:
+    # The build artifact is keyed by source CONTENT, not mtime: installed
+    # files carry archive mtimes that can predate a previously built .so
+    # (a stale-load hazard), and one user cache can serve several package
+    # versions side by side.
+    import hashlib
+
+    with open(src, "rb") as f:
+        tag = hashlib.sha256(f.read()).hexdigest()[:16]
     for cache in _cache_dirs():
-        so_path = os.path.join(cache, "libppmcodec.so")
+        so_path = os.path.join(cache, f"libppmcodec-{tag}.so")
         try:
-            if not os.path.exists(so_path) or os.path.getmtime(so_path) < os.path.getmtime(src):
+            if not os.path.exists(so_path):
                 os.makedirs(cache, exist_ok=True)
+                tmp = so_path + f".tmp{os.getpid()}"
                 subprocess.run(
-                    ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-o", so_path, src, "-pthread"],
+                    ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-o", tmp, src, "-pthread"],
                     check=True,
                     capture_output=True,
                 )
+                os.replace(tmp, so_path)  # atomic vs concurrent builders
             return so_path
         except (OSError, subprocess.CalledProcessError):
             continue

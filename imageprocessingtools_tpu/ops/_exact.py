@@ -25,9 +25,19 @@ import numpy as np
 
 # Quirk-B9 resource bound for -wN outputs (see plan_resize): per-dimension
 # and total-pixel caps standing in for the reference's platform-dependent
-# malloc failure at ppmx-edward.c:537.
+# malloc failure at ppmx-edward.c:537. The message is the C's fast-fail
+# surface; cli.main and serve share it for their MemoryError backstops.
 _MAX_RESIZE_DIM = 2**26
 _MAX_RESIZE_OUT_PX = 2**31
+B9_MESSAGE = "error. allocating indices\n"
+
+
+def resize_output_height(height: int, width: int, new_width: int) -> int:
+    """The C's ``-wN`` output height (``ppmx-edward.c:1099``):
+    ``(unsigned)((double) height * ((double) new_width / width))`` —
+    f64 truncation that WRAPS mod 2^32 out of range (see plan_resize)."""
+    return int(float(height) * (float(new_width) / float(width))) & 0xFFFFFFFF
+
 
 KERNEL_WIDTH = 4.0  # bicubic support, ref doProcessPPM passes 4.0 (:1108-1109)
 
@@ -124,7 +134,14 @@ def plan_resize(height: int, width: int, new_width: int) -> ResizePlan:
     if int(new_width) < 1:
         raise ValueError("invalid option for new width\n")
     scale_w = float(new_width) / float(width)
-    new_height = int(float(height) * scale_w)  # truncation, not rounding (:1099)
+    # (unsigned)((double) height * scale): truncation, not rounding, and the
+    # out-of-range conversion WRAPS mod 2^32 on the oracle platform
+    # (cvttsd2si to a 64-bit register, 32-bit store). Binary-verified:
+    # 4294968x1 -w1000 -> new_height 704 (a real 2 MB output), and
+    # 4096x1 -w1048576 -> exactly 2^32 -> 0 -> the B7 ind2store surface.
+    # The i64 intermediate can't itself overflow: 9-digit header/flag
+    # bounds cap height*scale at ~1e18 < 2^63.
+    new_height = resize_output_height(height, width, new_width)
     if new_height < 1:
         # Degenerate downscale (height*new_width < width -> truncated
         # new_height 0). The reference's failure here is deterministic on
@@ -154,7 +171,7 @@ def plan_resize(height: int, width: int, new_width: int) -> ResizePlan:
         # output dimension beyond 2^26 or more than 2^31 output pixels is
         # rejected up front. Real resizes sit orders of magnitude below
         # (a 16K x 16K output is 2.7e8 px).
-        raise ValueError("error. allocating indices\n")
+        raise ValueError(B9_MESSAGE)
     scale_h = float(new_height) / float(height)
 
     contrib_h = calc_contributions(height, new_height, scale_h)

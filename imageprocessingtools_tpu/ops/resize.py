@@ -25,6 +25,20 @@ from imageprocessingtools_tpu.ops import _exact
 from imageprocessingtools_tpu.ops.common import quantize_u8
 
 
+# Dense weight matrices above this element count take the f64 host path
+# instead (see resize_width): ~1 GB of f32 per pass is past what the tunnel
+# transfer + HBM layout tolerate, and such geometries are extreme-aspect
+# corner cases, not throughput paths.
+_DENSE_LIMIT = 2**28
+
+
+def _dense_infeasible(height: int, width: int, new_width: int) -> bool:
+    new_height = _exact.resize_output_height(height, width, new_width)
+    if new_height < 1:
+        return False  # let plan_resize raise the B7 surface
+    return max(new_height * height, new_width * width) > _DENSE_LIMIT
+
+
 @functools.lru_cache(maxsize=32)
 def _resize_plan_arrays(height: int, width: int, new_width: int):
     # Cache host numpy only: caching jnp arrays would leak tracers when the
@@ -159,6 +173,18 @@ def resize_width(
     """
     if banded is None:
         banded = False
+    if _dense_infeasible(img.shape[0], img.shape[1], int(new_width)) and not isinstance(
+        img, jax.core.Tracer
+    ):
+        # Extreme aspect geometries (e.g. the B9 wrap case 4294968x1 -w1000,
+        # a real 1000x704 output per the reference) make the dense [out, in]
+        # weight matrix enormous even though the output and the contributions
+        # [out, taps] are small. The f64 golden path applies taps directly —
+        # O(out*taps) memory — and is bit-exact vs the C, strictly stronger
+        # than the MXU path's +-1 budget. Concrete arrays only: under a jit
+        # trace there is no host escape (and the dense constant would not
+        # compile anyway).
+        return jnp.asarray(resize_width_exact(img, int(new_width)))
     if banded:
         _, _, passes = _banded_blocks(img.shape[0], img.shape[1], int(new_width))
         out = img

@@ -26,6 +26,7 @@ import time
 
 from imageprocessingtools_tpu.codec.ppm import PPMError
 from imageprocessingtools_tpu.cli import _CliError, _parse_args
+from imageprocessingtools_tpu.ops import _exact
 from imageprocessingtools_tpu.utils import log
 
 
@@ -102,7 +103,7 @@ def main(argv: list[str] | None = None) -> int:
             message = "error. can not open file\n"
         elif isinstance(e, MemoryError):
             # Allocation-failure backstop, same surface as cli.main (B9).
-            message = "error. allocating indices\n"
+            message = _exact.B9_MESSAGE
         else:
             message = str(e)
         sys.stdout.write(message)

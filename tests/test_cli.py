@@ -364,3 +364,53 @@ def test_huge_resize_allocation_message_parity(ref_runner, tmp_path, capsys):
 
     plan = _exact.plan_resize(2160, 3840, 16384)  # 4K -> 16K upscale
     assert plan.new_height == 9216
+
+
+def test_resize_height_wrap_mod32_parity(ref_runner, tmp_path, capsys):
+    """Quirk B9 refinement (self-review round 3): the C's new_height is
+    (unsigned)((double) height * scale) — an out-of-range conversion that
+    WRAPS mod 2^32 on the oracle platform (cvttsd2si to a 64-bit register,
+    32-bit store). A tall-thin input can therefore wrap to a SMALL, feasible
+    output the reference really produces: 913823x1 -w4700 gives
+    913823*4700 = 2^32 + 804 -> a real 4700x804 image. plan_resize
+    replicates the wrap (resize_output_height), the dense-matrix guard
+    routes the extreme-aspect geometry to the f64 golden path, and the
+    output is byte-identical. Wrapping to exactly 0 (4096x1 -w1048576 =
+    2^32) must fall into quirk B7's ind2store surface — also
+    binary-verified."""
+    import os
+
+    import numpy as np
+
+    from imageprocessingtools_tpu.codec import ppm
+    from imageprocessingtools_tpu.ops import _exact
+
+    assert _exact.resize_output_height(913823, 1, 4700) == 804
+    assert _exact.resize_output_height(4096, 1, 1048576) == 0
+    assert _exact.resize_output_height(4294968, 1, 1000) == 704
+
+    h, w, nw = 913823, 1, 4700
+    img = np.random.default_rng(11).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    data = ppm.encode_ppm(img)
+    ref_code, ref_stdout, ref_out = ref_runner.run(data, [f"-w{nw}"])
+    assert ref_code == 0 and ref_out.split(b"\n")[2] == b"4700 804"
+
+    p = os.path.join(str(tmp_path), "wrap.ppm")
+    with open(p, "wb") as f:
+        f.write(data)
+    our_code = cli.main([f"-w{nw}", p])
+    assert (our_code, capsys.readouterr().out) == (0, "")
+    with open(p + ".out", "rb") as f:
+        ours = f.read()
+    # The golden f64 host path is bit-exact, stronger than the MXU +-1 budget.
+    assert ours == ref_out
+
+    # wrap-to-exactly-0 -> B7's surface on both sides
+    img0 = np.zeros((4096, 1, 3), dtype=np.uint8)
+    ref_code, ref_stdout, _ = ref_runner.run(ppm.encode_ppm(img0), ["-w1048576"])
+    assert (ref_code, ref_stdout) == (255, "error: allocating ind2store\n")
+    q = os.path.join(str(tmp_path), "wrap0.ppm")
+    ppm.write_ppm(q, img0)
+    our_code = cli.main(["-w1048576", q])
+    assert (our_code, capsys.readouterr().out) == (255, "error: allocating ind2store\n")
+    assert not os.path.exists(q + ".out")

@@ -182,7 +182,19 @@ def main():
         "thin_class": "h or w in 1..3, other dim 4..200 (extreme aspect)",
         "small_range_px": [4, 40],
         "mid_range_px": [120, 320],
-        "seeds": f"fresh (base {seed_base}: {seed_base+50000}+/{seed_base+60000}+/{seed_base+70000}+; disjoint from the CI suite's 1000+)",
+        "seed_ranges": {
+            "small": [seed_base + 50_000, seed_base + 50_000 + n_small],
+            "mid": [seed_base + 60_000, seed_base + 60_000 + n_mid],
+            "thin": [seed_base + 70_000, seed_base + 70_000 + n_thin],
+        },
+        # Only claim freshness when it holds: class ranges must not overlap
+        # each other (n_* <= 10000) and must sit above the CI suite's fixed
+        # seeds (1000+, all below 10000).
+        "seeds_disjoint_from_ci": bool(
+            seed_base >= 0
+            and max(n_small, n_mid, n_thin) <= 10_000
+            and seed_base + 50_000 > 10_000
+        ),
         "tally": tally,
         "failures": failures,
         "wall_s": round(time.time() - t0, 1),
