@@ -30,16 +30,23 @@ def batch_apply(fn, images: jnp.ndarray, mesh: Mesh | None = None, axis_name: st
     """
     if mesh is None:
         mesh = default_mesh(axis_name)
-    if axis_name not in mesh.shape and len(mesh.shape) == 1:
-        axis_name = next(iter(mesh.shape))  # 1-D mesh: use its axis name
+    if axis_name not in mesh.shape:
+        if len(mesh.shape) == 1:
+            axis_name = next(iter(mesh.shape))  # 1-D mesh: use its axis name
+        else:
+            raise ValueError(
+                f"axis_name {axis_name!r} not in mesh axes {tuple(mesh.shape)}"
+            )
     n_dev = mesh.shape[axis_name]
     if images.shape[0] % n_dev != 0:
         raise ValueError(
             f"batch size {images.shape[0]} not divisible by mesh axis "
             f"{axis_name}={n_dev}; pad the batch"
         )
-    sharding = NamedSharding(mesh, P(axis_name))
-    images = jax.device_put(images, sharding)
+    # NO explicit device_put: uint8[..., W, 3] arrays tile-pad ~42x on HBM
+    # ((8, 128) on the (W, 3) minor dims) when committed via device_put,
+    # while jit ARGUMENTS pick compact layouts (CLAUDE.md) — the jit's
+    # in_shardings places the host batch correctly and compactly.
     return _jitted_vmap(fn, mesh, axis_name)(images)
 
 

@@ -95,6 +95,14 @@ def fused_pipeline_spatial(
     n = mesh.shape[axis_name]
     if height % n != 0 or height // n < 2:
         raise ValueError(f"H={height} must be divisible by {axis_name}={n} with >=2 rows/shard")
+    return _fused_spatial_fn(height, width, mesh, axis_name)(img)
+
+
+@functools.lru_cache(maxsize=32)
+def _fused_spatial_fn(height: int, width: int, mesh: Mesh, axis_name: str):
+    """One jit wrapper per (shape, mesh): repeat same-shape giant images
+    (the serve --spatial loop) reuse the compile instead of paying the
+    0.6-2 s tunnel recompile per file."""
     n_pixels = height * width
 
     def local_fn(tile):  # uint8[H/n, W, 3]
@@ -112,12 +120,11 @@ def fused_pipeline_spatial(
         in_specs=P(axis_name),
         out_specs=P(axis_name),
     )
-    fn = jax.jit(
+    return jax.jit(
         sharded,
         in_shardings=NamedSharding(mesh, P(axis_name)),
         out_shardings=NamedSharding(mesh, P(axis_name)),
     )
-    return fn(img)
 
 
 # ---------------------------------------------------------------------------
@@ -241,44 +248,65 @@ def resize_width_spatial(
     """
     if axis_name is None:
         axis_name = next(iter(mesh.shape))
-    n = mesh.shape[axis_name]
     height, width = int(img.shape[0]), int(img.shape[1])
     squeeze = img.ndim == 2
-    plan = _spatial_resize_plan(height, width, int(new_width), n)
-    sharding = NamedSharding(mesh, P(axis_name))
-    if plan is None:
-        from imageprocessingtools_tpu.ops.resize import resize_width
-
+    cached = _resize_spatial_cached(height, width, int(new_width), mesh, axis_name)
+    if cached is None:
         # GSPMD decides the output layout itself (outH may not divide the
         # mesh — e.g. a truncated B6 height — so it cannot be forced).
-        return jax.jit(
-            lambda x: resize_width(x, int(new_width)), in_shardings=sharding,
-        )(img)
-    _, passes = plan
-    passes_meta = tuple((k, None, t, b) for k, _, t, b in passes)
-    weight_specs = tuple(P(axis_name) if k == "h" else P() for k, *_ in passes)
-
-    body = _resize_local_fn(passes_meta, axis_name)
-    sharded = shard_map(
-        body, mesh=mesh,
-        in_specs=(P(axis_name),) + weight_specs,
-        out_specs=P(axis_name),
-    )
+        return _gspmd_resize_fn(int(new_width), mesh, axis_name)(img)
+    fn, weight_arrays = cached
     img3 = img[:, :, None] if squeeze else img
-    weight_arrays = tuple(
-        jax.device_put(
-            jnp.asarray(w),
-            NamedSharding(mesh, P(axis_name) if k == "h" else P()))
-        for k, w, *_ in passes)
-    fn = jax.jit(
-        sharded,
-        in_shardings=(sharding,) + tuple(
-            NamedSharding(mesh, P(axis_name) if k == "h" else P())
-            for k, *_ in passes),
-        out_shardings=sharding,
-    )
     out = fn(img3, *weight_arrays)
     return out[:, :, 0] if squeeze else out
+
+
+@functools.lru_cache(maxsize=32)
+def _gspmd_resize_fn(new_width: int, mesh: Mesh, axis_name: str):
+    from imageprocessingtools_tpu.ops.resize import resize_width
+
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.jit(lambda x: resize_width(x, new_width), in_shardings=sharding)
+
+
+@functools.lru_cache(maxsize=32)
+def _resize_spatial_cached(height: int, width: int, new_width: int,
+                           mesh: Mesh, axis_name: str):
+    """Jitted halo-exchange resize + persistent device weights per geometry.
+
+    Cached so repeat same-shape files (the serve --spatial loop) compile
+    once and reuse the already-transferred weight matrices; rebuilding the
+    jit wrapper per call would recompile every file (~0.6-2 s through the
+    tunnel). Returns None when the halo layout cannot apply.
+    """
+    n = mesh.shape[axis_name]
+    plan = _spatial_resize_plan(height, width, new_width, n)
+    if plan is None:
+        return None
+    sharding = NamedSharding(mesh, P(axis_name))
+    _, passes = plan
+    passes_meta = tuple((k, None, t, b) for k, _, t, b in passes)
+
+    body = _resize_local_fn(passes_meta, axis_name)
+    weight_shardings = tuple(
+        NamedSharding(mesh, P(axis_name) if k == "h" else P())
+        for k, *_ in passes)
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis_name),) + tuple(s.spec for s in weight_shardings),
+        out_specs=P(axis_name),
+    )
+    # f32 2-D weights tile-pad negligibly (unlike uint8 [..., W, 3] images),
+    # so committing them with device_put is safe and keeps them resident.
+    weight_arrays = tuple(
+        jax.device_put(jnp.asarray(w), s)
+        for (k, w, *_), s in zip(passes, weight_shardings))
+    fn = jax.jit(
+        sharded,
+        in_shardings=(sharding,) + weight_shardings,
+        out_shardings=sharding,
+    )
+    return fn, weight_arrays
 
 
 # ---------------------------------------------------------------------------
@@ -314,16 +342,49 @@ def rotate_spatial(
     n = mesh.shape[axis_name]
     angle = float(angle)
     height, width = int(img.shape[0]), int(img.shape[1])
-    sharding = NamedSharding(mesh, P(axis_name))
     plan = None
     if angle not in (0.0, 90.0, 180.0, 270.0) and height % n == 0:
         plan = _g._blocked_plan(height, width, angle)
     if plan is None or n == 1:
         # GSPMD fallback: permutation angles, sub-block images, or an H that
         # cannot be sharded evenly. Keeps whatever sharding the input has.
-        with mesh:
-            return jax.jit(lambda x: _g.rotate(x, angle))(img)
+        return _gspmd_rotate_fn(angle, mesh)(img)
 
+    squeeze = img.ndim == 2
+    img3 = img[:, :, None] if squeeze else img
+    sharded_fn, plan_arrays, new_h, new_w = _rotate_spatial_cached(
+        height, width, angle, mesh, axis_name)
+    out = sharded_fn(img3, *plan_arrays)
+    out = out[:new_h, :new_w]
+    return out[:, :, 0] if squeeze else out
+
+
+@functools.lru_cache(maxsize=32)
+def _gspmd_rotate_fn(angle: float, mesh: Mesh):
+    from imageprocessingtools_tpu.ops import geometry as _g
+
+    jitted = jax.jit(lambda x: _g.rotate(x, angle))
+
+    def run(x):
+        with mesh:  # GSPMD partitions under the mesh; jit cache persists
+            return jitted(x)
+
+    return run
+
+
+@functools.lru_cache(maxsize=32)
+def _rotate_spatial_cached(height: int, width: int, angle: float,
+                           mesh: Mesh, axis_name: str):
+    """Jitted all-gather + row-group-split rotation per geometry.
+
+    Cached like `_resize_spatial_cached`: repeat same-geometry files reuse
+    one compile and one set of plan constants.
+    """
+    from imageprocessingtools_tpu.ops import geometry as _g
+
+    n = mesh.shape[axis_name]
+    sharding = NamedSharding(mesh, P(axis_name))
+    plan = _g._blocked_plan(height, width, angle)
     new_h, new_w, bh, bw, n_g, n_k, splits, sy, sx, xc, yc = plan
     (axh, axl), (bxh, bxl), (ayh, ayl), (byh, byl) = splits
     G, L = _g._BLOCK_G, _g._BLOCK_L
@@ -344,9 +405,6 @@ def rotate_spatial(
     sy2, sx2 = pad_g(sy, (n_k,)), pad_g(sx, (n_k,))
     n_g_loc = n_g2 // n
 
-    squeeze = img.ndim == 2
-    img3 = img[:, :, None] if squeeze else img
-
     def body(tile, bxh_l, bxl_l, byh_l, byl_l, sy_l, sx_l,
              axh_r, axl_r, ayh_r, ayl_r):
         full = lax.all_gather(tile, axis_name, tiled=True)   # uint8[H, W, C]
@@ -366,13 +424,11 @@ def rotate_spatial(
         ),
         in_shardings=(sharding,) + (sharding,) * 6 + (rep,) * 4,
     )
-    out = sharded_fn(
-        img3,
+    plan_arrays = (
         jnp.asarray(bxh2), jnp.asarray(bxl2),
         jnp.asarray(byh2), jnp.asarray(byl2),
         jnp.asarray(sy2), jnp.asarray(sx2),
         jnp.asarray(axh.reshape(n_k, L)), jnp.asarray(axl.reshape(n_k, L)),
         jnp.asarray(ayh.reshape(n_k, L)), jnp.asarray(ayl.reshape(n_k, L)),
     )
-    out = out[:new_h, :new_w]
-    return out[:, :, 0] if squeeze else out
+    return sharded_fn, plan_arrays, new_h, new_w

@@ -43,6 +43,16 @@ def _jitted_local_vmap(fn):
     return jax.jit(jax.vmap(fn))
 
 
+@functools.lru_cache(maxsize=64)
+def _jitted_single(fn, sharding=None):
+    """Stable jit wrapper per (fn, sharding): a fresh jax.jit(fn) per call
+    owns a fresh compile cache, so repeat same-shape files would recompile
+    (~0.6-2 s each through the tunnel)."""
+    if sharding is None:
+        return jax.jit(fn)
+    return jax.jit(fn, in_shardings=sharding)
+
+
 def process_batch(images: np.ndarray, config: PipelineConfig, mesh=None):
     """uint8[N, H, W, 3] -> (uint8[N, ...], file_type), vmapped + jitted.
 
@@ -105,20 +115,41 @@ def process_file_spatial(
     if n_use != n:
         mesh = Mesh(np.asarray(mesh.devices).reshape(-1)[:n_use], (axis,))
     sharding = NamedSharding(mesh, P(axis))
-    img_d = jax.device_put(img, sharding)
+    # The host uint8 array goes straight to jitted callees: their
+    # in_shardings place it compactly, where an explicit device_put of a
+    # uint8[..., W, 3] array commits the ~42x tile-padded layout (CLAUDE.md)
+    # for the whole pipeline lifetime.
+    img_d = img
 
     out_path = path + suffix
     if config == "fused":
         if n_use == 1:
             # Degenerate shard (e.g. a 1-row image): the halo-exchange path
-            # needs >= 2 rows/shard; the single-device pipeline is identical.
-            from imageprocessingtools_tpu.kernels.fused import fused_pipeline_xla
+            # needs >= 2 rows/shard; the single-device pipeline is identical
+            # (the JITTED alias — the bare fn would dispatch each op eagerly
+            # through the tunnel at ~tens of ms RTT apiece).
+            from imageprocessingtools_tpu.kernels.fused import fused_gray_gauss_histeq
 
-            out = fused_pipeline_xla(img_d)
+            out = fused_gray_gauss_histeq(img_d)
         else:
             out = fused_pipeline_spatial(img_d, mesh, axis_name=axis)
         ppm.write_ppm(out_path, np.asarray(out), file_type=ppm.FILETYPE_PGM,
                       max_color=maxval)
+        return out_path
+
+    if config.angle is not None and _bucket_needs_strict_rotation(
+            img.shape[0], img.shape[1], config):
+        # Same guard as process_files' buckets: a geometry flagged by the
+        # double-f32 zone audit must take the bit-exact host path (no known
+        # case reaches here — the 359-angle sweep is clean — but giant-image
+        # geometries are exactly the ones outside the committed sweep grid).
+        res, ft = run_pipeline(img, config, strict_rotation=True)
+        res_np = np.asarray(res)
+        if ft == FILETYPE_PBM:
+            _write_p4(out_path, np.packbits(res_np, axis=1),
+                      res_np.shape[0], res_np.shape[1])
+        else:
+            ppm.write_ppm(out_path, res_np, file_type=ft, max_color=maxval)
         return out_path
 
     if n_use > 1 and (config.new_width is not None or config.angle is not None):
@@ -139,13 +170,11 @@ def process_file_spatial(
             img_d = rotate_spatial(img_d, float(config.angle), mesh)
         rest = dataclasses.replace(config, new_width=None, angle=None)
         if rest.any_op:  # covers mono (P4 packing happens in _pipeline_fn)
-            one = _pipeline_fn(rest)
-            out = jax.jit(one)(img_d)
+            out = _jitted_single(_pipeline_fn(rest))(img_d)
         else:
             out = img_d
     else:
-        one = _pipeline_fn(config)
-        out = jax.jit(one, in_shardings=sharding)(img_d)
+        out = _jitted_single(_pipeline_fn(config), sharding)(img_d)
     out_np = np.asarray(out)
     if config.file_type == FILETYPE_PBM:
         unpacked = jax.eval_shape(
