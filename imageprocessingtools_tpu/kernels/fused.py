@@ -17,6 +17,8 @@ ms, 14/14 interleaved hardware rounds under the previous flagship form.
 from __future__ import annotations
 
 import jax
+import math
+
 import jax.numpy as jnp
 
 from imageprocessingtools_tpu.ops.color import grayscale
@@ -28,9 +30,7 @@ def fused_pipeline_xla(img: jnp.ndarray) -> jnp.ndarray:
     """uint8[H, W, 3] -> uint8[H, W]; traceable (jit/vmap/shard_map-safe)."""
     g = grayscale(img)
     blurred = gaussian_blur(g)
-    n_pixels = 1
-    for d in blurred.shape:
-        n_pixels *= int(d)
+    n_pixels = math.prod(map(int, blurred.shape))
     lut = _equalize_lut(histogram(blurred), n_pixels)
     return apply_lut(blurred, lut)
 
@@ -47,9 +47,7 @@ def fused_pipeline_pallas(img: jnp.ndarray) -> jnp.ndarray:
 
     g = grayscale(img)
     blurred = gaussian_blur_pallas(g)
-    n_pixels = 1
-    for d in blurred.shape:
-        n_pixels *= int(d)
+    n_pixels = math.prod(map(int, blurred.shape))
     lut = _equalize_lut(histogram(blurred), n_pixels)
     return apply_lut(blurred, lut)
 
@@ -69,9 +67,7 @@ def fused_pipeline_pallas_mega(img: jnp.ndarray) -> jnp.ndarray:
     )
 
     blurred, hist = gray_gauss_hist_pallas(img)
-    n_pixels = 1
-    for d in blurred.shape:
-        n_pixels *= int(d)
+    n_pixels = math.prod(map(int, blurred.shape))
     lut = _equalize_lut(hist, n_pixels)
     return lut_apply_pallas(blurred, lut)
 

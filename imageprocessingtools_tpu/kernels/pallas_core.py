@@ -668,14 +668,15 @@ def gray_gauss_hist_pallas(img: jnp.ndarray, block_rows: int | None = None,
     on hardware (MEGA_TUNE_r03.json phase 3: the kernel is VPU+MXU
     phase-bound, not readback-bound), so the default stays False.
     """
-    if img.shape[0] * img.shape[1] >= 2**24:
-        raise ValueError("gray_gauss_hist_pallas requires H*W < 2^24")
     h0, w = int(img.shape[0]), int(img.shape[1])
     # default=32 from the round-3 hardware rank sweep (MEGA_TUNE_r03.json):
     # br=32 beat br=16 in 14/14 interleaved rounds at 4K (median 0.90x).
     br = _resolve_block_rows(h0, block_rows, radius=2, default=32)
     br = max(8, br - br % 8)  # slab processing needs 8-row multiples
-    if w % 128 or h0 < 8:
+    if w % 128 or h0 < 8 or h0 * w >= 2**24:
+        # >= 2^24 px joins the two-step fallback (instead of raising, so the
+        # mega variant stays a drop-in): the in-kernel f32 bins would lose
+        # integer exactness, but the XLA histogram chunks for it.
         from imageprocessingtools_tpu.ops.histogram import histogram as _xla_hist
 
         blurred = gray_gauss_pallas(img, block_rows=block_rows)

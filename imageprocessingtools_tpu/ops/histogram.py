@@ -21,10 +21,12 @@ documented +-1 LSB budget).
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 from jax import lax
 
-from imageprocessingtools_tpu.ops.common import as_i32
+from imageprocessingtools_tpu.ops.common import as_i32, round_half_up
 
 _F32_EXACT_COUNT = 1 << 24  # f32 integer-exactness limit for accumulation
 
@@ -47,9 +49,15 @@ def _histogram_chunk(v: jnp.ndarray) -> jnp.ndarray:
 
 
 def histogram(img: jnp.ndarray) -> jnp.ndarray:
-    """uint8[...] -> int32[256] bin counts (exact)."""
+    """uint8[...] -> int32[256] bin counts (exact; < 2^31 total elements)."""
     v = as_i32(img).reshape(-1)
     n = v.shape[0]
+    if n >= 2**31:
+        # int32 bins (and the equalization CDF downstream) would silently
+        # wrap; make the ceiling explicit. 2^31 px is ~259 stacked 4K frames
+        # — batch callers should histogram per-image and sum in int64 on
+        # host if they truly need a fleet-wide histogram.
+        raise ValueError("histogram requires < 2^31 total elements")
     if n < _F32_EXACT_COUNT:
         return _histogram_chunk(v)
     # Chunk to stay within f32 exact integer range, then sum in int32.
@@ -85,7 +93,7 @@ def _equalize_lut(hist: jnp.ndarray, n_pixels: int) -> jnp.ndarray:
     cdf = jnp.cumsum(hist)
     cdf_min = jnp.min(jnp.where(cdf > 0, cdf, n_pixels))
     denom = jnp.maximum(n_pixels - cdf_min, 1).astype(jnp.float32)
-    lut = jnp.floor((cdf - cdf_min).astype(jnp.float32) * 255.0 / denom + 0.5)
+    lut = round_half_up((cdf - cdf_min).astype(jnp.float32) * 255.0 / denom)
     lut = jnp.clip(lut, 0, 255).astype(jnp.uint8)
     identity = jnp.arange(256, dtype=jnp.uint8)
     return jnp.where(cdf_min == n_pixels, identity, lut)
@@ -93,8 +101,6 @@ def _equalize_lut(hist: jnp.ndarray, n_pixels: int) -> jnp.ndarray:
 
 def equalize_histogram(img: jnp.ndarray) -> jnp.ndarray:
     """Classic CDF equalization of a gray uint8 image."""
-    n_pixels = 1
-    for d in img.shape:
-        n_pixels *= int(d)
+    n_pixels = math.prod(map(int, img.shape))
     lut = _equalize_lut(histogram(img), n_pixels)
     return apply_lut(img, lut)

@@ -79,7 +79,8 @@ def _isqrt_round(m: jnp.ndarray) -> jnp.ndarray:
     """
     k = jnp.floor(jnp.sqrt(m.astype(jnp.float32)) + 0.5).astype(jnp.int32)
     k = jnp.where(m > k * k + k, k + 1, k)
-    k = jnp.where(m < k * k - k + 1, k - 1, k)
+    # guard k > 0: the down-correction would take m = 0 to -1 (0 < 1)
+    k = jnp.where((k > 0) & (m < k * k - k + 1), k - 1, k)
     return k
 
 

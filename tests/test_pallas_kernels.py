@@ -133,11 +133,19 @@ def test_mega_kernel_hist_matches_ops():
     assert int(np.asarray(hist).sum()) == 50 * 256
 
 
-def test_mega_kernel_size_guard():
+def test_mega_kernel_size_guard_delegates():
+    """>= 2^24 px takes the two-step fallback (gray+gauss kernel + chunked
+    XLA histogram) instead of raising — the mega variant is a drop-in for
+    the other fused forms at any size (in-kernel f32 bins would lose
+    integer exactness there; the XLA histogram chunks for it)."""
     from imageprocessingtools_tpu.kernels.pallas_core import gray_gauss_hist_pallas
 
-    with pytest.raises(ValueError, match="2\\^24"):
-        gray_gauss_hist_pallas(np.zeros((4100, 4100, 3), np.uint8))
+    img = np.zeros((4096, 4096, 3), np.uint8)  # exactly 2^24 px
+    img[0, :7] = 255
+    blurred, hist = gray_gauss_hist_pallas(img)
+    h = np.asarray(hist)
+    assert int(h.sum()) == 4096 * 4096
+    assert blurred.shape == (4096, 4096)
 
 
 def test_histogram_pallas_odd_shapes_exact():

@@ -55,3 +55,20 @@ def test_chex_assert_shapes():
     out = ipt.grayscale(img)
     chex.assert_shape(out, (8, 8))
     chex.assert_type(out, np.uint8)
+
+
+def test_isqrt_round_exact_exhaustive():
+    """round_half_up(sqrt(m)) for every m in [0, 2^16): the f32-estimate
+    +-1 fix-up must be exact, including m = 0 (a flat Sobel region), which
+    the unguarded down-correction used to send to -1."""
+    import numpy as np
+
+    from imageprocessingtools_tpu.ops.stencil import _isqrt_round
+
+    import jax.numpy as jnp
+
+    m = np.arange(2**16, dtype=np.int32)
+    got = np.asarray(_isqrt_round(jnp.asarray(m)))
+    want = np.floor(np.sqrt(m.astype(np.float64)) + 0.5).astype(np.int32)
+    assert got[0] == 0
+    np.testing.assert_array_equal(got, want)
