@@ -9,6 +9,7 @@ usable with `parallel.batch_apply` / `serving.process_batch`.
 
 from imageprocessingtools_tpu.models.presets import (  # noqa: F401
     PRESETS,
+    PRESET_FILE_TYPES,
     get_preset,
     reference_pipeline,
     edge_detect,

@@ -50,6 +50,15 @@ PRESETS = {
     "print_ready": print_ready,
 }
 
+# Output encoding per preset (serving writes one file per input):
+# 0 = P6 color, 1 = P5 gray, 2 = P4 bilevel (values {0,1}, device-packed).
+PRESET_FILE_TYPES = {
+    "edge_detect": 1,
+    "enhance": 1,
+    "thumbnail": 0,
+    "print_ready": 2,
+}
+
 
 def get_preset(name: str):
     try:

@@ -15,6 +15,9 @@ Serve options (extensions, hence the ``--`` prefix space):
     --max-batch N   images per device dispatch (default 256)
     --sequential    disable the reader/writer overlap threads
     --mesh          shard batches over all local devices (data parallel)
+    --preset NAME   serve a models/ preset pipeline instead of reference op
+                    flags (edge_detect | enhance | thumbnail | print_ready);
+                    mutually exclusive with op flags and --spatial
 Exit codes/messages follow the single-image CLI: errors print to stdout,
 exit 255 (quirk B3); success prints one summary line to stderr and exits 0.
 """
@@ -33,7 +36,7 @@ from imageprocessingtools_tpu.utils import log
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     serve_opts = {"spatial": False, "max_batch": 256, "overlap": True,
-                  "mesh": False}
+                  "mesh": False, "preset": None}
     op_args: list[str] = []
     files: list[str] = []
     i = 0
@@ -54,6 +57,12 @@ def main(argv: list[str] | None = None) -> int:
                 sys.stdout.write("Error: --max-batch needs a positive integer\n")
                 return 255
             serve_opts["max_batch"] = int(argv[i])
+        elif a == "--preset":
+            i += 1
+            if i >= len(argv):
+                sys.stdout.write("Error: --preset needs a name\n")
+                return 255
+            serve_opts["preset"] = argv[i]
         elif a.startswith("--"):
             sys.stdout.write(f"Error: unknown option {a}\n")
             return 255
@@ -66,13 +75,30 @@ def main(argv: list[str] | None = None) -> int:
     if not files:
         sys.stdout.write("Error: no input files\n")
         return 255
-    try:
-        # Validate the op flags with the reference parser (it needs exactly
-        # one filename, so feed it the first file).
-        config, _ = _parse_args(op_args + [files[0]])
-    except _CliError as e:
-        sys.stdout.write(e.message)
-        return 255
+    if serve_opts["preset"] is not None:
+        from imageprocessingtools_tpu.models import PRESETS
+
+        if op_args:
+            sys.stdout.write("Error: --preset excludes op flags\n")
+            return 255
+        if serve_opts["spatial"]:
+            sys.stdout.write("Error: --preset does not support --spatial\n")
+            return 255
+        if serve_opts["preset"] not in PRESETS:
+            sys.stdout.write(
+                "Error: unknown preset %r; available: %s\n"
+                % (serve_opts["preset"], " ".join(sorted(PRESETS)))
+            )
+            return 255
+        config = serve_opts["preset"]
+    else:
+        try:
+            # Validate the op flags with the reference parser (it needs
+            # exactly one filename, so feed it the first file).
+            config, _ = _parse_args(op_args + [files[0]])
+        except _CliError as e:
+            sys.stdout.write(e.message)
+            return 255
 
     from imageprocessingtools_tpu import serving
 

@@ -39,6 +39,48 @@ def _pipeline_fn(config: PipelineConfig):
 
 
 @functools.lru_cache(maxsize=64)
+def _preset_pipeline_fn(name: str):
+    """(traceable single-image fn, file_type) for a models/ preset name.
+
+    PBM presets pack bits on device like the reference mono path. Cached so
+    jit caches key on a stable callable per name (as `_pipeline_fn` does
+    per config)."""
+    from imageprocessingtools_tpu.models import PRESET_FILE_TYPES, get_preset
+
+    fn = get_preset(name)  # raises ValueError for unknown names
+    file_type = PRESET_FILE_TYPES[name]
+
+    def one(img):
+        out = fn(img)
+        if file_type == FILETYPE_PBM:
+            out = pack_bits_device(out)
+        return out
+
+    return one, file_type
+
+
+def _task_fn(config) -> tuple:
+    """(single-image fn, file_type) for a PipelineConfig or preset name."""
+    if isinstance(config, str):
+        return _preset_pipeline_fn(config)
+    return _pipeline_fn(config), config.file_type
+
+
+def _task_unpacked_shape(config, h: int, w: int) -> tuple:
+    """Pre-P4-packing output shape for one (h, w, 3) input (the P4 writer
+    needs the real width; device packing pads rows to byte boundaries)."""
+    if isinstance(config, str):
+        from imageprocessingtools_tpu.models import get_preset
+
+        raw = get_preset(config)
+        return jax.eval_shape(raw, jax.ShapeDtypeStruct((h, w, 3), np.uint8)).shape
+    return jax.eval_shape(
+        lambda im: run_pipeline(im, config)[0],
+        jax.ShapeDtypeStruct((h, w, 3), np.uint8),
+    ).shape
+
+
+@functools.lru_cache(maxsize=64)
 def _jitted_local_vmap(fn):
     return jax.jit(jax.vmap(fn))
 
@@ -53,15 +95,17 @@ def _jitted_single(fn, sharding=None):
     return jax.jit(fn, in_shardings=sharding)
 
 
-def process_batch(images: np.ndarray, config: PipelineConfig, mesh=None):
+def process_batch(images: np.ndarray, config: PipelineConfig | str, mesh=None):
     """uint8[N, H, W, 3] -> (uint8[N, ...], file_type), vmapped + jitted.
 
+    ``config`` is a PipelineConfig (reference ops) or a preset name from
+    `models.PRESETS` (extension pipelines; P4 presets pack bits on device).
     With a mesh, the batch axis is sharded; a batch that does not divide the
     mesh size is padded (repeating the last image) up to the next multiple
     and the padding sliced off the result, so remainder chunks work.
     Compiles once per (config, input shape); repeat chunks reuse the cache.
     """
-    one = _pipeline_fn(config)
+    one, file_type = _task_fn(config)
     if mesh is not None:
         from imageprocessingtools_tpu.parallel.batch import batch_apply
 
@@ -77,7 +121,7 @@ def process_batch(images: np.ndarray, config: PipelineConfig, mesh=None):
             out = out[:n]
     else:
         out = _jitted_local_vmap(one)(images)
-    return out, config.file_type
+    return out, file_type
 
 
 def process_file_spatial(
@@ -242,13 +286,17 @@ def _bucket_needs_strict_rotation(h: int, w: int, config: PipelineConfig) -> boo
 
 def process_files(
     paths: list[str],
-    config: PipelineConfig,
+    config: PipelineConfig | str,
     mesh=None,
     suffix: str = ".out",
     max_batch: int = 256,
     overlap: bool = True,
 ) -> list[str]:
-    """Run the reference pipeline over many files; writes ``<path>.out``.
+    """Run the pipeline over many files; writes ``<path>.out``.
+
+    ``config`` is a PipelineConfig (the reference's six-flag pipeline) or a
+    preset name from `models.PRESETS` (extension pipelines served with the
+    same bucketing/overlap machinery).
 
     Files are bucketed by (H, W) so each unique shape compiles once; each
     bucket is decoded with the native batched codec and processed on device
@@ -277,7 +325,8 @@ def process_files(
 
     out_paths: list[str | None] = [None] * len(paths)
     for (h, w), all_idxs in buckets.items():
-        if _bucket_needs_strict_rotation(h, w, config):
+        if not isinstance(config, str) and _bucket_needs_strict_rotation(
+                h, w, config):
             # The double-f32 zone audit flagged this geometry (no known
             # case reaches here — the committed 359-angle sweep is clean —
             # but the vmapped pipeline cannot take the bit-exact host
@@ -297,10 +346,7 @@ def process_files(
                 out_paths[i] = out_path
             continue
         # Pre-pack spatial dims (resize/rotate may change them before mono).
-        unpacked = jax.eval_shape(
-            lambda im: run_pipeline(im, config)[0],
-            jax.ShapeDtypeStruct((h, w, 3), np.uint8),
-        ).shape
+        unpacked = _task_unpacked_shape(config, h, w)
         chunks = [
             all_idxs[k : k + max_batch]
             for k in range(0, len(all_idxs), max_batch)
