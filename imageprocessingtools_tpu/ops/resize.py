@@ -198,20 +198,25 @@ def resize_width(
     return out
 
 
-@functools.lru_cache(maxsize=32)
-def _resize_hw_plan_arrays(height: int, width: int, new_height: int, new_width: int):
-    """General (H, W) target: both passes, smaller scale first."""
+def _hw_passes(height: int, width: int, new_height: int, new_width: int):
+    """Both contribution passes for an explicit (H, W) target, smaller
+    scale first (the reference's -wN ordering rule, applied generally)."""
     scale_h = float(new_height) / float(height)
     scale_w = float(new_width) / float(width)
     contrib_h = _exact.calc_contributions(height, new_height, scale_h)
     contrib_w = _exact.calc_contributions(width, new_width, scale_w)
-    passes = (
+    return (
         ((0, contrib_h), (1, contrib_w))
         if scale_h < scale_w
         else ((1, contrib_w), (0, contrib_h))
     )
+
+
+@functools.lru_cache(maxsize=32)
+def _resize_hw_plan_arrays(height: int, width: int, new_height: int, new_width: int):
+    """General (H, W) target: both passes as dense f32 weight matrices."""
     mats = []
-    for dim, contrib in passes:
+    for dim, contrib in _hw_passes(height, width, new_height, new_width):
         in_size = height if dim == 0 else width
         mats.append((dim, _exact.dense_weights(contrib, in_size).astype(np.float32)))
     return tuple(mats)
@@ -231,12 +236,36 @@ def resize_width_exact(img, new_width: int):
 
 
 def resize(img: jnp.ndarray, new_height: int, new_width: int) -> jnp.ndarray:
-    """Library extension: resize to an explicit (new_height, new_width)."""
-    if int(new_height) < 1 or int(new_width) < 1:
+    """Library extension: resize to an explicit (new_height, new_width).
+
+    Same guards as `resize_width`: outputs beyond the resource caps raise
+    up front (a clear extension message, not the -wN parity surface), and
+    extreme-aspect geometries whose dense weight matrix would exceed the
+    feasible size take the f64 host tap path (bit-exact, O(out*taps)
+    memory) instead of materializing an O(out*in) matrix.
+    """
+    new_height, new_width = int(new_height), int(new_width)
+    if new_height < 1 or new_width < 1:
         raise ValueError("invalid option for new width\n")
-    mats = _resize_hw_plan_arrays(
-        img.shape[0], img.shape[1], int(new_height), int(new_width)
-    )
+    if (
+        max(new_height, new_width) > _exact._MAX_RESIZE_DIM
+        or new_height * new_width > _exact._MAX_RESIZE_OUT_PX
+    ):
+        raise ValueError(
+            f"resize output {new_height}x{new_width} exceeds the supported "
+            f"bound (dim <= 2^26, pixels <= 2^31)"
+        )
+    height, width = img.shape[0], img.shape[1]
+    if max(new_height * height, new_width * width) > _DENSE_LIMIT and not isinstance(
+        img, jax.core.Tracer
+    ):
+        from imageprocessingtools_tpu.golden.model import _apply_contributions
+
+        out_np = np.asarray(img)
+        for dim, contrib in _hw_passes(height, width, new_height, new_width):
+            out_np = _apply_contributions(out_np, contrib, dim)
+        return jnp.asarray(out_np)
+    mats = _resize_hw_plan_arrays(height, width, new_height, new_width)
     out = img
     for dim, weight in mats:
         out = _apply_pass(out, jnp.asarray(weight), dim)

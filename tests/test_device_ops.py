@@ -88,6 +88,38 @@ def test_resize_hw_extension():
     assert out.shape == (10, 45, 3)
 
 
+def test_resize_hw_extension_host_fallback(monkeypatch):
+    """Extreme-aspect route: the f64 host tap path (triggered by shrinking
+    the dense limit) agrees with the dense MXU path within the +-1 budget
+    and exactly equals the direct f64 contributions composition."""
+    import importlib
+
+    # the ops package re-exports the resize FUNCTION under the same name,
+    # so attribute-style imports find the function, not the module
+    rz = importlib.import_module("imageprocessingtools_tpu.ops.resize")
+    from imageprocessingtools_tpu.golden.model import _apply_contributions
+
+    img = make_image(20, 30, seed=11)
+    dense = np.asarray(ipt.resize(img, 10, 45))
+    monkeypatch.setattr(rz, "_DENSE_LIMIT", 1)
+    host = np.asarray(ipt.resize(img, 10, 45))
+    assert np.max(np.abs(host.astype(int) - dense.astype(int))) <= 1
+    expected = img
+    for dim, contrib in rz._hw_passes(20, 30, 10, 45):
+        expected = _apply_contributions(expected, contrib, dim)
+    np.testing.assert_array_equal(host, expected)
+
+
+def test_resize_hw_extension_caps():
+    img = make_image(8, 8, seed=1)
+    with pytest.raises(ValueError, match="exceeds the supported bound"):
+        ipt.resize(img, 2**27, 4)
+    with pytest.raises(ValueError, match="exceeds the supported bound"):
+        ipt.resize(img, 2**16, 2**16)
+    with pytest.raises(ValueError, match="invalid option"):
+        ipt.resize(img, 0, 4)
+
+
 @pytest.mark.parametrize("shape", [(13, 17), (48, 64)])
 def test_extension_pointwise_exact(shape):
     img = make_image(*shape, seed=5)
