@@ -18,6 +18,8 @@ Serve options (extensions, hence the ``--`` prefix space):
     --preset NAME   serve a models/ preset pipeline instead of reference op
                     flags (edge_detect | enhance | thumbnail | print_ready);
                     mutually exclusive with op flags and --spatial
+    --suffix S      output filename suffix (default ".out"; must be
+                    non-empty so inputs are never overwritten)
 Exit codes/messages follow the single-image CLI: errors print to stdout,
 exit 255 (quirk B3); success prints one summary line to stderr and exits 0.
 """
@@ -36,7 +38,7 @@ from imageprocessingtools_tpu.utils import log
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     serve_opts = {"spatial": False, "max_batch": 256, "overlap": True,
-                  "mesh": False, "preset": None}
+                  "mesh": False, "preset": None, "suffix": ".out"}
     op_args: list[str] = []
     files: list[str] = []
     i = 0
@@ -63,6 +65,12 @@ def main(argv: list[str] | None = None) -> int:
                 sys.stdout.write("Error: --preset needs a name\n")
                 return 255
             serve_opts["preset"] = argv[i]
+        elif a == "--suffix":
+            i += 1
+            if i >= len(argv) or not argv[i]:
+                sys.stdout.write("Error: --suffix needs a non-empty value\n")
+                return 255
+            serve_opts["suffix"] = argv[i]
         elif a.startswith("--"):
             sys.stdout.write(f"Error: unknown option {a}\n")
             return 255
@@ -112,12 +120,14 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if serve_opts["spatial"]:
             outs = [
-                serving.process_file_spatial(p, config, mesh=mesh)
+                serving.process_file_spatial(
+                    p, config, mesh=mesh, suffix=serve_opts["suffix"])
                 for p in files
             ]
         else:
             outs = serving.process_files(
                 files, config, mesh=mesh,
+                suffix=serve_opts["suffix"],
                 max_batch=serve_opts["max_batch"],
                 overlap=serve_opts["overlap"],
             )
