@@ -42,16 +42,27 @@ def main() -> None:
         if p:
             time.sleep(PASS_GAP_S)
         for name, fn in PRESETS.items():
-            sec = device_loop_rate(fn, img, iters=20, repeats=3)
+            # iters=200: the 0-iter baseline fluctuates by ~ms between
+            # contention windows; at 200 iterations that noise contributes
+            # <= ~0.01 ms/iter, keeping sub-0.2 ms presets above it.
+            sec = device_loop_rate(fn, img, iters=200, repeats=3)
             passes[name].append(round(sec * 1e3, 3))
     for name in PRESETS:
-        ms = min(passes[name])
+        # The harness's 0-iter baseline can land in a different contention
+        # window and underflow a pass to ~0 (CLAUDE.md lore); such passes
+        # are not real and are excluded from the min.
+        real = [v for v in passes[name] if v >= 0.005] or passes[name]
+        ms = min(real)
         rows[name] = {
             "ms": ms,
-            "mpix_per_s": round(H * W / (ms * 1e-3) / 1e6, 1),
+            "mpix_per_s": round(H * W / (max(ms, 1e-6) * 1e-3) / 1e6, 1),
             "passes_ms": passes[name],
-            "spread_max_over_min": round(max(passes[name]) / max(ms, 1e-9), 2),
+            "spread_max_over_min": round(max(real) / max(ms, 1e-9), 2),
         }
+        if len(real) != len(passes[name]):
+            rows[name]["underflow_passes_excluded"] = (
+                len(passes[name]) - len(real)
+            )
     rows["thumbnail"]["note"] = (
         "output is 256-wide, so the loop feedback rebuilds the 1080p input "
         "via the harness's generic ravel/tile path — the row includes that "
