@@ -432,3 +432,120 @@ def _rotate_spatial_cached(height: int, width: int, angle: float,
         jnp.asarray(ayh.reshape(n_k, L)), jnp.asarray(ayl.reshape(n_k, L)),
     )
     return sharded_fn, plan_arrays, new_h, new_w
+
+
+# ---------------------------------------------------------------------------
+# Spatial PRESET pipelines (models/ surface, H-sharded).
+#
+# Same halo machinery as the fused pipeline: stencil stages exchange their
+# radius in rows over ICI (`_exchange_row_halo`), global reductions ride
+# `psum`, pointwise stages stay local. The Bayer threshold in print_ready
+# depends on the GLOBAL row index, so each shard rebuilds its threshold
+# rows from its axis index. Outputs are bit-identical to the unsharded
+# preset (thumbnail delegates to the halo-exchange resize and inherits the
+# documented +-1-vs-golden budget of the device resize it mirrors).
+# ---------------------------------------------------------------------------
+
+
+def _stencil3_from_padded(padded: jnp.ndarray, h: int, w: int, kernels):
+    """Integer 3x3 correlations on a 1-row-halo'd int32 tile; W edges
+    replicate locally. Returns one int32[h, w] accumulator per kernel."""
+    padded = jnp.pad(padded, ((0, 0), (1, 1)), mode="edge")
+    outs = []
+    for kern in kernels:
+        acc = None
+        for dy in range(3):
+            for dx in range(3):
+                c = kern[dy][dx]
+                if c == 0:
+                    continue
+                tap = padded[dy : dy + h, dx : dx + w]
+                term = tap if c == 1 else c * tap
+                acc = term if acc is None else acc + term
+        outs.append(acc)
+    return outs
+
+
+@functools.lru_cache(maxsize=32)
+def _bayer_rows(width: int) -> np.ndarray:
+    """int32[4, W]: the Bayer integer thresholds for global rows 0..3."""
+    reps = -(-width // 4)
+    return np.tile(_exact.BAYER_THRESHOLD_INT, (1, reps))[:, :width]
+
+
+@functools.lru_cache(maxsize=32)
+def _preset_spatial_fn(name: str, height: int, width: int, mesh: Mesh,
+                       axis_name: str):
+    """One jitted shard_map per (preset, shape, mesh) — the serve --spatial
+    loop reuses the compile across same-shape files."""
+    from imageprocessingtools_tpu.ops.stencil import _isqrt_round
+
+    n_pixels = height * width
+    local_h = height // mesh.shape[axis_name]
+    bayer = jnp.asarray(_bayer_rows(width)) if name == "print_ready" else None
+
+    def local_fn(tile):  # uint8[H/n, W, 3]
+        g = grayscale(tile)
+        if name == "edge_detect":
+            padded = _exchange_row_halo(g.astype(jnp.int32), 2, axis_name)
+            blurred = _gaussian5_from_padded(padded, local_h, width)
+            p1 = _exchange_row_halo(blurred.astype(jnp.int32), 1, axis_name)
+            gx, gy = _stencil3_from_padded(
+                p1, local_h, width,
+                (((-1, 0, 1), (-2, 0, 2), (-1, 0, 1)),
+                 ((-1, -2, -1), (0, 0, 0), (1, 2, 1))),
+            )
+            k = _isqrt_round(gx * gx + gy * gy)
+            return jnp.clip(k, 0, 255).astype(jnp.uint8)
+        if name == "enhance":
+            hist = lax.psum(histogram(g), axis_name)
+            eq = apply_lut(g, _equalize_lut(hist, n_pixels))
+            p1 = _exchange_row_halo(eq.astype(jnp.int32), 1, axis_name)
+            (s,) = _stencil3_from_padded(
+                p1, local_h, width, (((0, -1, 0), (-1, 5, -1), (0, -1, 0)),)
+            )
+            return jnp.clip(s, 0, 255).astype(jnp.uint8)
+        if name == "print_ready":
+            hist = lax.psum(histogram(g), axis_name)
+            eq = apply_lut(g, _equalize_lut(hist, n_pixels))
+            # Bayer threshold by GLOBAL row: this shard starts at row
+            # idx*local_h; gather its h rows from the 4-row pattern.
+            start = lax.axis_index(axis_name) * local_h
+            rows = (start + jnp.arange(local_h)) % 4
+            thr = bayer[rows]
+            # rgb-broadcast + (r+g+b)//3 of eq is eq itself, so the dither
+            # compares eq directly (bit-identical to the batch preset).
+            return (eq < thr).astype(jnp.uint8)
+        raise ValueError(f"unknown spatial preset {name!r}")
+
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.jit(
+        shard_map(local_fn, mesh=mesh, in_specs=P(axis_name),
+                  out_specs=P(axis_name)),
+        in_shardings=sharding,
+        out_shardings=sharding,
+    )
+
+
+def preset_pipeline_spatial(
+    img: jnp.ndarray, name: str, mesh: Mesh, axis_name: str | None = None
+) -> jnp.ndarray:
+    """A models/ preset over ONE giant uint8[H, W, 3] image, H-sharded.
+
+    edge_detect / enhance / print_ready run as explicit shard_map pipelines
+    (ppermute stencil halos, psum histogram) bit-identical to the unsharded
+    preset; thumbnail rides the contributions-derived halo-exchange resize.
+    H must divide the mesh axis with >= 2 rows per shard (callers reduce to
+    a divisor submesh, as serve --spatial does).
+    """
+    if axis_name is None:
+        axis_name = next(iter(mesh.shape))
+    if name == "thumbnail":
+        return resize_width_spatial(img, 256, mesh, axis_name)
+    height, width = int(img.shape[0]), int(img.shape[1])
+    n = mesh.shape[axis_name]
+    if height % n != 0 or height // n < 2:
+        raise ValueError(
+            f"H={height} must be divisible by {axis_name}={n} with >=2 rows/shard"
+        )
+    return _preset_spatial_fn(name, height, width, mesh, axis_name)(img)

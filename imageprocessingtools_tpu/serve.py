@@ -17,7 +17,9 @@ Serve options (extensions, hence the ``--`` prefix space):
     --mesh          shard batches over all local devices (data parallel)
     --preset NAME   serve a models/ preset pipeline instead of reference op
                     flags (edge_detect | enhance | thumbnail | print_ready);
-                    mutually exclusive with op flags and --spatial
+                    mutually exclusive with op flags; composes with
+                    --spatial (H-sharded shard_map halo pipelines) and
+                    --mesh (batch data parallelism)
     --suffix S      output filename suffix (default ".out"; must be
                     non-empty so inputs are never overwritten)
 Exit codes/messages follow the single-image CLI: errors print to stdout,
@@ -88,9 +90,6 @@ def main(argv: list[str] | None = None) -> int:
 
         if op_args:
             sys.stdout.write("Error: --preset excludes op flags\n")
-            return 255
-        if serve_opts["spatial"]:
-            sys.stdout.write("Error: --preset does not support --spatial\n")
             return 255
         if serve_opts["preset"] not in PRESETS:
             sys.stdout.write(

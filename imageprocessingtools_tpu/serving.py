@@ -133,14 +133,15 @@ def process_file_spatial(
     """ONE giant image, H-sharded over the mesh (spatial parallelism).
 
     The image analog of sequence/context parallelism: rows are split over
-    devices. ``config`` is either a PipelineConfig (reference ops — the
+    devices. ``config`` is a PipelineConfig (reference ops — the
     sharded jit lets GSPMD insert the collectives: flips become permutes,
-    the resize H-pass a sharded matmul) or the string ``"fused"`` for the
-    gray -> 5x5 Gaussian -> hist-eq extension pipeline, which uses the
-    explicit shard_map + ppermute halo-exchange path
-    (parallel/spatial.fused_pipeline_spatial). If H is not divisible by the
-    mesh size, the largest divisor-sized submesh is used (1 device worst
-    case). Writes ``<path><suffix>``; returns the output path.
+    the resize H-pass a sharded matmul), the string ``"fused"`` for the
+    gray -> 5x5 Gaussian -> hist-eq extension pipeline, or a models/ preset
+    name — both strings use the explicit shard_map + ppermute halo-exchange
+    paths (parallel/spatial.fused_pipeline_spatial /
+    preset_pipeline_spatial). If H is not divisible by the mesh size, the
+    largest divisor-sized submesh is used (1 device worst case). Writes
+    ``<path><suffix>``; returns the output path.
     """
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -179,6 +180,36 @@ def process_file_spatial(
             out = fused_pipeline_spatial(img_d, mesh, axis_name=axis)
         ppm.write_ppm(out_path, np.asarray(out), file_type=ppm.FILETYPE_PGM,
                       max_color=maxval)
+        return out_path
+
+    if isinstance(config, str):
+        # models/ preset, H-sharded. The degenerate 1-shard case runs the
+        # jitted batch preset fn (identical result, no shard_map overhead).
+        from imageprocessingtools_tpu.models import PRESET_FILE_TYPES
+        from imageprocessingtools_tpu.parallel.spatial import (
+            preset_pipeline_spatial,
+        )
+
+        if config not in PRESET_FILE_TYPES:
+            raise ValueError(
+                f"unknown preset {config!r}; available: "
+                f"{sorted(PRESET_FILE_TYPES)}"
+            )
+        file_type = PRESET_FILE_TYPES[config]
+        if n_use == 1:
+            one, _ = _task_fn(config)  # includes device P4 packing
+            out_np = np.asarray(_jitted_single(one)(img_d))
+        else:
+            out = preset_pipeline_spatial(img_d, config, mesh, axis_name=axis)
+            out_np = np.asarray(out)
+            if file_type == FILETYPE_PBM:
+                out_np = np.packbits(out_np, axis=1)
+        if file_type == FILETYPE_PBM:
+            unpacked = _task_unpacked_shape(config, img.shape[0], img.shape[1])
+            _write_p4(out_path, out_np, unpacked[0], unpacked[1])
+        else:
+            ppm.write_ppm(out_path, out_np, file_type=file_type,
+                          max_color=maxval)
         return out_path
 
     if config.angle is not None and _bucket_needs_strict_rotation(
