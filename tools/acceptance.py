@@ -179,6 +179,27 @@ def main() -> None:
         "gray_mpix_per_s": round(img4k.shape[0] * img4k.shape[1] / sec / 1e6, 1),
     }
 
+    # 9. PRESET pipelines (models/ surface) at 1080p: the three
+    # integer-exact presets vs their golden compositions (thumbnail is the
+    # +-1 resize, covered by config 7's budget); rates in PRESETS_r03.json.
+    from imageprocessingtools_tpu.models import PRESETS
+
+    img1080 = _img(1080, 1920, seed=6)
+    g = golden.grayscale(img1080)
+    preset_golden = {
+        "edge_detect": golden.sobel(golden.gaussian_blur(g)),
+        "enhance": golden.sharpen(golden.equalize_histogram(g)),
+        "print_ready": golden.mono_dither(np.broadcast_to(
+            golden.equalize_histogram(g)[..., None], g.shape + (3,))),
+    }
+    report["9_presets_1080p"] = {
+        "maxdiff": {
+            name: _maxdiff(np.asarray(PRESETS[name](img1080)), exp)
+            for name, exp in preset_golden.items()
+        },
+        "expect": 0,
+    }
+
     print(json.dumps(report, indent=2))
 
 
