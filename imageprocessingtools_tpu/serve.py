@@ -22,6 +22,10 @@ Serve options (extensions, hence the ``--`` prefix space):
                     --mesh (batch data parallelism)
     --suffix S      output filename suffix (default ".out"; must be
                     non-empty so inputs are never overwritten)
+    --resume        skip inputs whose output file already exists, so an
+                    interrupted large campaign restarts where it stopped
+                    (the skip is by presence only; delete stale outputs to
+                    force reprocessing)
 Exit codes/messages follow the single-image CLI: errors print to stdout,
 exit 255 (quirk B3); success prints one summary line to stderr and exits 0.
 """
@@ -40,7 +44,8 @@ from imageprocessingtools_tpu.utils import log
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     serve_opts = {"spatial": False, "max_batch": 256, "overlap": True,
-                  "mesh": False, "preset": None, "suffix": ".out"}
+                  "mesh": False, "preset": None, "suffix": ".out",
+                  "resume": False}
     op_args: list[str] = []
     files: list[str] = []
     i = 0
@@ -55,6 +60,8 @@ def main(argv: list[str] | None = None) -> int:
             serve_opts["overlap"] = False
         elif a == "--mesh":
             serve_opts["mesh"] = True
+        elif a == "--resume":
+            serve_opts["resume"] = True
         elif a == "--max-batch":
             i += 1
             if i >= len(argv) or not argv[i].isdigit() or int(argv[i]) < 1:
@@ -107,6 +114,15 @@ def main(argv: list[str] | None = None) -> int:
             sys.stdout.write(e.message)
             return 255
 
+    n_skipped = 0
+    if serve_opts["resume"]:
+        import os.path
+
+        todo = [p for p in files
+                if not os.path.exists(p + serve_opts["suffix"])]
+        n_skipped = len(files) - len(todo)
+        files = todo
+
     from imageprocessingtools_tpu import serving
 
     mesh = None
@@ -145,10 +161,15 @@ def main(argv: list[str] | None = None) -> int:
         log.emit("serve_error", n_files=len(files), message=message.strip())
         return 255
     wall = time.perf_counter() - t0
-    log.emit("serve_ok", n_files=len(outs), wall_s=round(wall, 3))
+    log.emit("serve_ok", n_files=len(outs), skipped=n_skipped,
+             wall_s=round(wall, 3))
+    resume_note = (
+        f", {n_skipped} skipped (existing {serve_opts['suffix']})"
+        if serve_opts["resume"] else ""
+    )
     sys.stderr.write(
         f"{len(outs)} files processed in {wall:.2f}s "
-        f"({len(outs) / max(wall, 1e-9):.1f} files/s)\n"
+        f"({len(outs) / max(wall, 1e-9):.1f} files/s){resume_note}\n"
     )
     return 0
 
