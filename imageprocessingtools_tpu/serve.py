@@ -15,11 +15,14 @@ Serve options (extensions, hence the ``--`` prefix space):
     --max-batch N   images per device dispatch (default 256)
     --sequential    disable the reader/writer overlap threads
     --mesh          shard batches over all local devices (data parallel)
-    --preset NAME   serve a models/ preset pipeline instead of reference op
+    --preset NAMES  serve a models/ preset pipeline instead of reference op
                     flags (edge_detect | enhance | thumbnail | print_ready);
                     mutually exclusive with op flags; composes with
                     --spatial (H-sharded shard_map halo pipelines) and
-                    --mesh (batch data parallelism)
+                    --mesh (batch data parallelism). A comma-separated list
+                    FANS OUT: all presets run in one device dispatch per
+                    chunk (decode + host->device upload paid once for N
+                    outputs) and each writes <input>.<preset><suffix>
     --suffix S      output filename suffix (default ".out"; must be
                     non-empty so inputs are never overwritten)
     --resume        skip inputs whose output file already exists, so an
@@ -98,13 +101,20 @@ def main(argv: list[str] | None = None) -> int:
         if op_args:
             sys.stdout.write("Error: --preset excludes op flags\n")
             return 255
-        if serve_opts["preset"] not in PRESETS:
+        names = serve_opts["preset"].split(",")
+        for n in names:
+            if n not in PRESETS:
+                sys.stdout.write(
+                    "Error: unknown preset %r; available: %s\n"
+                    % (n, " ".join(sorted(PRESETS)))
+                )
+                return 255
+        if len(set(names)) != len(names):
             sys.stdout.write(
-                "Error: unknown preset %r; available: %s\n"
-                % (serve_opts["preset"], " ".join(sorted(PRESETS)))
+                "Error: duplicate preset in %r\n" % (serve_opts["preset"],)
             )
             return 255
-        config = serve_opts["preset"]
+        config = names[0] if len(names) == 1 else tuple(names)
     else:
         try:
             # Validate the op flags with the reference parser (it needs
@@ -118,8 +128,17 @@ def main(argv: list[str] | None = None) -> int:
     if serve_opts["resume"]:
         import os.path
 
-        todo = [p for p in files
-                if not os.path.exists(p + serve_opts["suffix"])]
+        sfx = serve_opts["suffix"]
+        if isinstance(config, tuple):
+            # Fan-out: a file counts as done only when EVERY preset's
+            # output exists (a partial file reruns all presets — they
+            # share one dispatch anyway).
+            def _done(p):
+                return all(os.path.exists(p + "." + n + sfx) for n in config)
+        else:
+            def _done(p):
+                return os.path.exists(p + sfx)
+        todo = [p for p in files if not _done(p)]
         n_skipped = len(files) - len(todo)
         files = todo
 
@@ -134,11 +153,23 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.perf_counter()
     try:
         if serve_opts["spatial"]:
-            outs = [
-                serving.process_file_spatial(
-                    p, config, mesh=mesh, suffix=serve_opts["suffix"])
-                for p in files
-            ]
+            if isinstance(config, tuple):
+                # Spatial mode processes ONE giant image at a time, so
+                # fan-out runs per preset (no batch upload to amortize;
+                # the decoded host image is reused across presets).
+                outs = [
+                    [serving.process_file_spatial(
+                        p, n, mesh=mesh,
+                        suffix="." + n + serve_opts["suffix"])
+                     for n in config]
+                    for p in files
+                ]
+            else:
+                outs = [
+                    serving.process_file_spatial(
+                        p, config, mesh=mesh, suffix=serve_opts["suffix"])
+                    for p in files
+                ]
         else:
             outs = serving.process_files(
                 files, config, mesh=mesh,

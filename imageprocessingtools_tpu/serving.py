@@ -59,8 +59,38 @@ def _preset_pipeline_fn(name: str):
     return one, file_type
 
 
+@functools.lru_cache(maxsize=32)
+def _fanout_pipeline_fn(names: tuple):
+    """(single-image fn returning one output PER preset, file_types tuple)
+    for a tuple of preset names — FAN-OUT serving.
+
+    One traced function means ONE device dispatch per chunk: the uint8
+    batch is decoded, transferred, and read from HBM once, and every
+    preset's compute shares it. Host->device transfer is the measured
+    serving bottleneck here (~5-15 MB/s each way through the tunnel,
+    CLAUDE.md), so N presets for one upload is nearly N-fold cheaper than
+    N single-preset passes; on a full slice the shared decode + HBM read
+    still amortizes. XLA additionally CSEs shared prefixes (edge_detect /
+    enhance / print_ready all start with the same grayscale)."""
+    if not names:
+        raise ValueError("empty preset list")
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate preset names: {sorted(names)}")
+    parts = [_preset_pipeline_fn(n) for n in names]  # validates each name
+    fns = tuple(p[0] for p in parts)
+    file_types = tuple(p[1] for p in parts)
+
+    def one(img):
+        return tuple(fn(img) for fn in fns)
+
+    return one, file_types
+
+
 def _task_fn(config) -> tuple:
-    """(single-image fn, file_type) for a PipelineConfig or preset name."""
+    """(single-image fn, file_type) for a PipelineConfig, preset name, or
+    tuple of preset names (fan-out; file_type is then a tuple too)."""
+    if isinstance(config, tuple):
+        return _fanout_pipeline_fn(config)
     if isinstance(config, str):
         return _preset_pipeline_fn(config)
     return _pipeline_fn(config), config.file_type
@@ -98,8 +128,10 @@ def _jitted_single(fn, sharding=None):
 def process_batch(images: np.ndarray, config: PipelineConfig | str, mesh=None):
     """uint8[N, H, W, 3] -> (uint8[N, ...], file_type), vmapped + jitted.
 
-    ``config`` is a PipelineConfig (reference ops) or a preset name from
-    `models.PRESETS` (extension pipelines; P4 presets pack bits on device).
+    ``config`` is a PipelineConfig (reference ops), a preset name from
+    `models.PRESETS` (extension pipelines; P4 presets pack bits on device),
+    or a tuple of preset names (fan-out: returns a tuple of outputs and a
+    tuple of file_types from ONE device dispatch over the shared batch).
     With a mesh, the batch axis is sharded; a batch that does not divide the
     mesh size is padded (repeating the last image) up to the next multiple
     and the padding sliced off the result, so remainder chunks work.
@@ -118,7 +150,9 @@ def process_batch(images: np.ndarray, config: PipelineConfig | str, mesh=None):
             )
         out = batch_apply(one, images, mesh=mesh)
         if pad:
-            out = out[:n]
+            # tree.map so fan-out tuples slice each PRESET's batch axis
+            # (a bare out[:n] would slice the tuple of presets instead).
+            out = jax.tree.map(lambda o: o[:n], out)
     else:
         out = _jitted_local_vmap(one)(images)
     return out, file_type
@@ -273,8 +307,22 @@ def _write_p4(out_path: str, packed_rows: np.ndarray, height: int,
 
 
 def _encode_chunk(idxs, out_np, file_type, unpacked, paths, metas, suffix,
-                  out_paths) -> None:
-    """Host-encode one processed chunk to ``<path><suffix>`` files."""
+                  out_paths, names=None) -> None:
+    """Host-encode one processed chunk to ``<path><suffix>`` files; for
+    fan-out (``names`` given) to ``<path>.<preset><suffix>`` per preset."""
+    if names is not None:
+        for k, name in enumerate(names):
+            for j, i in enumerate(idxs):
+                out_path = paths[i] + "." + name + suffix
+                if file_type[k] == FILETYPE_PBM:
+                    _write_p4(out_path, out_np[k][j],
+                              unpacked[k][0], unpacked[k][1])
+                else:
+                    ppm.write_ppm(out_path, out_np[k][j],
+                                  file_type=file_type[k],
+                                  max_color=metas[i][2])
+                out_paths[i][k] = out_path
+        return
     for j, i in enumerate(idxs):
         out_path = paths[i] + suffix
         if file_type == FILETYPE_PBM:
@@ -287,6 +335,15 @@ def _encode_chunk(idxs, out_np, file_type, unpacked, paths, metas, suffix,
                 max_color=metas[i][2],
             )
         out_paths[i] = out_path
+
+
+def _to_host(out):
+    """Transfer device output(s) to host. np.asarray is the dependent
+    transfer that observes device completion (block_until_ready is a no-op
+    through the tunnel); fan-out outputs are a tuple of arrays."""
+    if isinstance(out, tuple):
+        return tuple(np.asarray(o) for o in out)
+    return np.asarray(out)
 
 
 def _read_and_decode(paths, idxs):
@@ -325,9 +382,14 @@ def process_files(
 ) -> list[str]:
     """Run the pipeline over many files; writes ``<path>.out``.
 
-    ``config`` is a PipelineConfig (the reference's six-flag pipeline) or a
+    ``config`` is a PipelineConfig (the reference's six-flag pipeline), a
     preset name from `models.PRESETS` (extension pipelines served with the
-    same bucketing/overlap machinery).
+    same bucketing/overlap machinery), or a tuple/list of preset names —
+    FAN-OUT: every preset runs in one device dispatch per chunk, so the
+    decode and the host->device upload (the serving bottleneck through the
+    tunnel) are paid once for N outputs. Fan-out writes
+    ``<path>.<preset><suffix>`` per preset and returns a list of per-input
+    path lists instead of a flat path list.
 
     Files are bucketed by (H, W) so each unique shape compiles once; each
     bucket is decoded with the native batched codec and processed on device
@@ -345,6 +407,12 @@ def process_files(
     # transparently falls back to the Python codec without a toolchain);
     # payloads are read per chunk so host memory stays bounded by a few
     # chunks, not the whole file set.
+    fanout_names: tuple | None = None
+    if isinstance(config, (tuple, list)):
+        fanout_names = tuple(config)
+        config = fanout_names
+        _fanout_pipeline_fn(fanout_names)  # validate names early
+
     metas = []
     for p in paths:
         w, h, maxval, _ = native.parse_file_header(p)
@@ -354,9 +422,12 @@ def process_files(
     for i, (h, w, _) in enumerate(metas):
         buckets[(h, w)].append(i)
 
-    out_paths: list[str | None] = [None] * len(paths)
+    out_paths: list = (
+        [[None] * len(fanout_names) for _ in paths]
+        if fanout_names is not None else [None] * len(paths)
+    )
     for (h, w), all_idxs in buckets.items():
-        if not isinstance(config, str) and _bucket_needs_strict_rotation(
+        if isinstance(config, PipelineConfig) and _bucket_needs_strict_rotation(
                 h, w, config):
             # The double-f32 zone audit flagged this geometry (no known
             # case reaches here — the committed 359-angle sweep is clean —
@@ -377,7 +448,12 @@ def process_files(
                 out_paths[i] = out_path
             continue
         # Pre-pack spatial dims (resize/rotate may change them before mono).
-        unpacked = _task_unpacked_shape(config, h, w)
+        if fanout_names is not None:
+            unpacked: tuple = tuple(
+                _task_unpacked_shape(n, h, w) for n in fanout_names
+            )
+        else:
+            unpacked = _task_unpacked_shape(config, h, w)
         chunks = [
             all_idxs[k : k + max_batch]
             for k in range(0, len(all_idxs), max_batch)
@@ -386,8 +462,9 @@ def process_files(
             for idxs in chunks:
                 batch = _read_and_decode(paths, idxs)
                 out, file_type = process_batch(batch, config, mesh=mesh)
-                _encode_chunk(idxs, np.asarray(out), file_type, unpacked,
-                              paths, metas, suffix, out_paths)
+                _encode_chunk(idxs, _to_host(out), file_type, unpacked,
+                              paths, metas, suffix, out_paths,
+                              names=fanout_names)
             continue
 
         decode_q: queue.Queue = queue.Queue(maxsize=2)
@@ -411,7 +488,8 @@ def process_files(
                     item = encode_q.get()
                     if item is None:
                         return
-                    _encode_chunk(*item, paths, metas, suffix, out_paths)
+                    _encode_chunk(*item, paths, metas, suffix, out_paths,
+                                  names=fanout_names)
             except BaseException as e:
                 errors.append(e)
 
@@ -439,10 +517,10 @@ def process_files(
                     break
                 idxs, batch = item
                 out, file_type = process_batch(batch, config, mesh=mesh)
-                # np.asarray is the dependent transfer that observes device
-                # completion (block_until_ready is a no-op through the
-                # tunnel); the reader keeps decoding meanwhile.
-                if not put_to_writer((idxs, np.asarray(out), file_type, unpacked)):
+                # _to_host's np.asarray is the dependent transfer that
+                # observes device completion (block_until_ready is a no-op
+                # through the tunnel); the reader keeps decoding meanwhile.
+                if not put_to_writer((idxs, _to_host(out), file_type, unpacked)):
                     break
         except BaseException as e:
             errors.append(e)
