@@ -176,7 +176,7 @@ def main():
             if "fail" in case:
                 failures.append(case)
     doc = {
-        "date": "2026-08-17",
+        "date": time.strftime("%Y-%m-%d"),
         "command": f"python tools/fuzz_campaign.py {n_small} {n_mid} {n_thin} {seed_base}",
         "n_cases": n_small + n_mid + n_thin,
         "thin_class": "h or w in 1..3, other dim 4..200 (extreme aspect)",
