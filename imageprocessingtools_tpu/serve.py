@@ -29,6 +29,11 @@ Serve options (extensions, hence the ``--`` prefix space):
                     interrupted large campaign restarts where it stopped
                     (the skip is by presence only; delete stale outputs to
                     force reprocessing)
+    --skip-bad      a file that fails to open/parse/decode is skipped (one
+                    "skipped <path>: <message>" line per file on stderr)
+                    instead of failing the whole run — one corrupt file
+                    must not sink a 4096-file campaign; default keeps the
+                    reference's fail-fast stdout/exit-255 surface
 Exit codes/messages follow the single-image CLI: errors print to stdout,
 exit 255 (quirk B3); success prints one summary line to stderr and exits 0.
 """
@@ -48,7 +53,7 @@ def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     serve_opts = {"spatial": False, "max_batch": 256, "overlap": True,
                   "mesh": False, "preset": None, "suffix": ".out",
-                  "resume": False}
+                  "resume": False, "skip_bad": False}
     op_args: list[str] = []
     files: list[str] = []
     i = 0
@@ -65,6 +70,8 @@ def main(argv: list[str] | None = None) -> int:
             serve_opts["mesh"] = True
         elif a == "--resume":
             serve_opts["resume"] = True
+        elif a == "--skip-bad":
+            serve_opts["skip_bad"] = True
         elif a == "--max-batch":
             i += 1
             if i >= len(argv) or not argv[i].isdigit() or int(argv[i]) < 1:
@@ -150,32 +157,42 @@ def main(argv: list[str] | None = None) -> int:
 
         mesh = default_mesh()
 
+    failures: dict = {}
     t0 = time.perf_counter()
     try:
         if serve_opts["spatial"]:
-            if isinstance(config, tuple):
-                # Spatial mode processes ONE giant image at a time, so
-                # fan-out runs per preset (no batch upload to amortize;
-                # the decoded host image is reused across presets).
-                outs = [
-                    [serving.process_file_spatial(
-                        p, n, mesh=mesh,
-                        suffix="." + n + serve_opts["suffix"])
-                     for n in config]
-                    for p in files
-                ]
-            else:
-                outs = [
-                    serving.process_file_spatial(
-                        p, config, mesh=mesh, suffix=serve_opts["suffix"])
-                    for p in files
-                ]
+            outs = []
+            for p in files:
+                try:
+                    if isinstance(config, tuple):
+                        # Spatial mode processes ONE giant image at a
+                        # time, so fan-out runs per preset (no batch
+                        # upload to amortize).
+                        outs.append([
+                            serving.process_file_spatial(
+                                p, n, mesh=mesh,
+                                suffix="." + n + serve_opts["suffix"])
+                            for n in config
+                        ])
+                    else:
+                        outs.append(serving.process_file_spatial(
+                            p, config, mesh=mesh,
+                            suffix=serve_opts["suffix"]))
+                except (PPMError, OSError) as e:
+                    if not serve_opts["skip_bad"]:
+                        raise
+                    failures[p] = (
+                        e.message if isinstance(e, PPMError)
+                        else "error. can not open file\n"
+                    )
         else:
             outs = serving.process_files(
                 files, config, mesh=mesh,
                 suffix=serve_opts["suffix"],
                 max_batch=serve_opts["max_batch"],
                 overlap=serve_opts["overlap"],
+                on_error="skip" if serve_opts["skip_bad"] else "raise",
+                failures=failures,
             )
     except (PPMError, ValueError, OSError, MemoryError) as e:
         if isinstance(e, PPMError):
@@ -192,15 +209,19 @@ def main(argv: list[str] | None = None) -> int:
         log.emit("serve_error", n_files=len(files), message=message.strip())
         return 255
     wall = time.perf_counter() - t0
+    for p, msg in failures.items():
+        sys.stderr.write(f"skipped {p}: {msg.strip()}\n")
+        log.emit("serve_skipped_file", path=p, message=msg.strip())
     log.emit("serve_ok", n_files=len(outs), skipped=n_skipped,
-             wall_s=round(wall, 3))
+             failed=len(failures), wall_s=round(wall, 3))
     resume_note = (
         f", {n_skipped} skipped (existing {serve_opts['suffix']})"
         if serve_opts["resume"] else ""
     )
+    bad_note = f", {len(failures)} bad skipped" if failures else ""
     sys.stderr.write(
         f"{len(outs)} files processed in {wall:.2f}s "
-        f"({len(outs) / max(wall, 1e-9):.1f} files/s){resume_note}\n"
+        f"({len(outs) / max(wall, 1e-9):.1f} files/s){resume_note}{bad_note}\n"
     )
     return 0
 

@@ -346,13 +346,48 @@ def _to_host(out):
     return np.asarray(out)
 
 
-def _read_and_decode(paths, idxs):
-    buffers = []
+def _read_and_decode(paths, idxs, expected_hw=None, on_error="raise",
+                     failures=None):
+    """Read + batch-decode one chunk. With ``on_error="skip"``, a file that
+    fails to open or decode is dropped from the chunk (its message recorded
+    in ``failures[i]``) instead of failing the whole run: the batch is
+    re-decoded per file to isolate the bad one. Returns (kept_idxs, batch);
+    batch is None when nothing survived."""
+    buffers, kept = [], []
     for i in idxs:
-        with open(paths[i], "rb") as f:
-            buffers.append(f.read())
-    batch, _ = native.decode_batch(buffers)
-    return batch
+        try:
+            with open(paths[i], "rb") as f:
+                buffers.append(f.read())
+            kept.append(i)
+        except OSError:
+            if on_error != "skip":
+                raise
+            failures[i] = "error. can not open file\n"
+    if not kept:
+        return [], None
+    try:
+        batch, _ = native.decode_batch(buffers)
+        return kept, batch
+    except ppm.PPMError:
+        if on_error != "skip":
+            raise
+        imgs, kept2 = [], []
+        for i, buf in zip(kept, buffers):
+            try:
+                img, _ = ppm.decode_ppm(buf)
+            except ppm.PPMError as e:
+                failures[i] = e.message
+                continue
+            if expected_hw is not None and img.shape[:2] != expected_hw:
+                # Header prefix and payload decode disagree on dims (the
+                # bucket shape is the header's claim) — treat as corrupt.
+                failures[i] = "error. invalid file format.\n"
+                continue
+            imgs.append(img)
+            kept2.append(i)
+        if not kept2:
+            return [], None
+        return kept2, np.stack(imgs)
 
 
 def _bucket_needs_strict_rotation(h: int, w: int, config: PipelineConfig) -> bool:
@@ -379,6 +414,8 @@ def process_files(
     suffix: str = ".out",
     max_batch: int = 256,
     overlap: bool = True,
+    on_error: str = "raise",
+    failures: dict | None = None,
 ) -> list[str]:
     """Run the pipeline over many files; writes ``<path>.out``.
 
@@ -401,7 +438,18 @@ def process_files(
     processes chunk N (the reference is strictly serial decode->op->encode,
     ``ppmx-edward.c:1053-1172``). Queues are bounded to 2 chunks so host
     memory stays ~5 chunks regardless of file count. Returns output paths.
+
+    ``on_error="skip"``: a file that fails to open, parse, or decode is
+    skipped (its input path -> stdout-style message recorded in the
+    caller-supplied ``failures`` dict) and the rest of the run proceeds —
+    one corrupt file must not sink a 4096-file campaign. The default
+    ``"raise"`` keeps the reference's fail-fast semantics. A skipped file
+    inside a chunk shrinks that chunk's batch (one extra compile for the
+    odd size — rare-path cost only).
     """
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+    path_failures: dict = {} if failures is None else failures
     # First pass: headers only — reads a 64 KB prefix + stat per file (NOT
     # the payload) through the NATIVE lexer (identical grammar/messages;
     # transparently falls back to the Python codec without a toolchain);
@@ -413,14 +461,26 @@ def process_files(
         config = fanout_names
         _fanout_pipeline_fn(fanout_names)  # validate names early
 
+    idx_failures: dict[int, str] = {}
     metas = []
-    for p in paths:
-        w, h, maxval, _ = native.parse_file_header(p)
+    for i, p in enumerate(paths):
+        try:
+            w, h, maxval, _ = native.parse_file_header(p)
+        except (ppm.PPMError, OSError) as e:
+            if on_error != "skip":
+                raise
+            idx_failures[i] = (
+                e.message if isinstance(e, ppm.PPMError)
+                else "error. can not open file\n"
+            )
+            metas.append(None)
+            continue
         metas.append((h, w, maxval))
 
     buckets: dict[tuple[int, int], list[int]] = collections.defaultdict(list)
-    for i, (h, w, _) in enumerate(metas):
-        buckets[(h, w)].append(i)
+    for i, m in enumerate(metas):
+        if m is not None:
+            buckets[(m[0], m[1])].append(i)
 
     out_paths: list = (
         [[None] * len(fanout_names) for _ in paths]
@@ -434,8 +494,17 @@ def process_files(
             # but the vmapped pipeline cannot take the bit-exact host
             # fallback under tracing, so the bucket runs eagerly).
             for i in all_idxs:
-                with open(paths[i], "rb") as f:
-                    img, _ = ppm.decode_ppm(f.read())
+                try:
+                    with open(paths[i], "rb") as f:
+                        img, _ = ppm.decode_ppm(f.read())
+                except (ppm.PPMError, OSError) as e:
+                    if on_error != "skip":
+                        raise
+                    idx_failures[i] = (
+                        e.message if isinstance(e, ppm.PPMError)
+                        else "error. can not open file\n"
+                    )
+                    continue
                 res, ft = run_pipeline(img, config, strict_rotation=True)
                 res_np = np.asarray(res)
                 out_path = paths[i] + suffix
@@ -460,9 +529,12 @@ def process_files(
         ]
         if not overlap or len(chunks) == 1:
             for idxs in chunks:
-                batch = _read_and_decode(paths, idxs)
+                kept, batch = _read_and_decode(
+                    paths, idxs, (h, w), on_error, idx_failures)
+                if not kept:
+                    continue
                 out, file_type = process_batch(batch, config, mesh=mesh)
-                _encode_chunk(idxs, _to_host(out), file_type, unpacked,
+                _encode_chunk(kept, _to_host(out), file_type, unpacked,
                               paths, metas, suffix, out_paths,
                               names=fanout_names)
             continue
@@ -476,7 +548,10 @@ def process_files(
                 for idxs in chunks:
                     if errors:
                         return
-                    decode_q.put((idxs, _read_and_decode(paths, idxs)))
+                    kept, batch = _read_and_decode(
+                        paths, idxs, (h, w), on_error, idx_failures)
+                    if kept:
+                        decode_q.put((kept, batch))
             except BaseException as e:  # surfaced in the main thread
                 errors.append(e)
             finally:
@@ -549,4 +624,8 @@ def process_files(
             wt.join()
         if errors:
             raise errors[0]
+    for i, msg in idx_failures.items():
+        path_failures[paths[i]] = msg
+    if fanout_names is not None:
+        return [o for i, o in enumerate(out_paths) if i not in idx_failures]
     return [p for p in out_paths if p is not None]
