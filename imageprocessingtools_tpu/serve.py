@@ -49,6 +49,13 @@ from imageprocessingtools_tpu.ops import _exact
 from imageprocessingtools_tpu.utils import log
 
 
+def _report_skipped(failures: dict) -> None:
+    """One stderr line + one structured log event per skip-bad'ed file."""
+    for p, msg in failures.items():
+        sys.stderr.write(f"skipped {p}: {msg.strip()}\n")
+        log.emit("serve_skipped_file", path=p, message=msg.strip())
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     serve_opts = {"spatial": False, "max_batch": 256, "overlap": True,
@@ -163,28 +170,36 @@ def main(argv: list[str] | None = None) -> int:
         if serve_opts["spatial"]:
             outs = []
             for p in files:
-                try:
-                    if isinstance(config, tuple):
-                        # Spatial mode processes ONE giant image at a
-                        # time, so fan-out runs per preset (no batch
-                        # upload to amortize).
-                        outs.append([
-                            serving.process_file_spatial(
-                                p, n, mesh=mesh,
-                                suffix="." + n + serve_opts["suffix"])
-                            for n in config
-                        ])
-                    else:
-                        outs.append(serving.process_file_spatial(
-                            p, config, mesh=mesh,
-                            suffix=serve_opts["suffix"]))
-                except (PPMError, OSError) as e:
-                    if not serve_opts["skip_bad"]:
-                        raise
-                    failures[p] = (
-                        e.message if isinstance(e, PPMError)
-                        else "error. can not open file\n"
-                    )
+                if serve_opts["skip_bad"]:
+                    # Probe the INPUT only (open + header + payload-length
+                    # checks against the real file size). Failures past
+                    # this point are compute/write errors and must fail
+                    # the run — skip-bad covers bad inputs, not e.g. a
+                    # full disk while writing outputs.
+                    try:
+                        from imageprocessingtools_tpu.codec import native
+
+                        native.parse_file_header(p)
+                    except (PPMError, OSError) as e:
+                        failures[p] = (
+                            e.message if isinstance(e, PPMError)
+                            else "error. can not open file\n"
+                        )
+                        continue
+                if isinstance(config, tuple):
+                    # Spatial mode processes ONE giant image at a time, so
+                    # fan-out runs per preset (no batch upload to
+                    # amortize).
+                    outs.append([
+                        serving.process_file_spatial(
+                            p, n, mesh=mesh,
+                            suffix="." + n + serve_opts["suffix"])
+                        for n in config
+                    ])
+                else:
+                    outs.append(serving.process_file_spatial(
+                        p, config, mesh=mesh,
+                        suffix=serve_opts["suffix"]))
         else:
             outs = serving.process_files(
                 files, config, mesh=mesh,
@@ -206,16 +221,21 @@ def main(argv: list[str] | None = None) -> int:
         else:
             message = str(e)
         sys.stdout.write(message)
+        # Files skip-bad already dropped must not vanish from the record
+        # just because a later chunk failed the run.
+        _report_skipped(failures)
         log.emit("serve_error", n_files=len(files), message=message.strip())
         return 255
     wall = time.perf_counter() - t0
-    for p, msg in failures.items():
-        sys.stderr.write(f"skipped {p}: {msg.strip()}\n")
-        log.emit("serve_skipped_file", path=p, message=msg.strip())
+    _report_skipped(failures)
     log.emit("serve_ok", n_files=len(outs), skipped=n_skipped,
              failed=len(failures), wall_s=round(wall, 3))
+    existing = (
+        f".<preset>{serve_opts['suffix']}" if isinstance(config, tuple)
+        else serve_opts["suffix"]
+    )
     resume_note = (
-        f", {n_skipped} skipped (existing {serve_opts['suffix']})"
+        f", {n_skipped} skipped (existing {existing})"
         if serve_opts["resume"] else ""
     )
     bad_note = f", {len(failures)} bad skipped" if failures else ""

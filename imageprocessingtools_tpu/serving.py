@@ -125,7 +125,8 @@ def _jitted_single(fn, sharding=None):
     return jax.jit(fn, in_shardings=sharding)
 
 
-def process_batch(images: np.ndarray, config: PipelineConfig | str, mesh=None):
+def process_batch(images: np.ndarray, config: PipelineConfig | str | tuple,
+                  mesh=None):
     """uint8[N, H, W, 3] -> (uint8[N, ...], file_type), vmapped + jitted.
 
     ``config`` is a PipelineConfig (reference ops), a preset name from
@@ -371,10 +372,14 @@ def _read_and_decode(paths, idxs, expected_hw=None, on_error="raise",
     except ppm.PPMError:
         if on_error != "skip":
             raise
+        # Isolate the bad file(s) by decoding PER FILE — still through the
+        # NATIVE codec (a pure-Python re-decode of a 256-file 4K chunk
+        # would turn one corrupt file into minutes of host work).
         imgs, kept2 = [], []
         for i, buf in zip(kept, buffers):
             try:
-                img, _ = ppm.decode_ppm(buf)
+                one, _ = native.decode_batch([buf])
+                img = one[0]
             except ppm.PPMError as e:
                 failures[i] = e.message
                 continue
@@ -409,7 +414,7 @@ def _bucket_needs_strict_rotation(h: int, w: int, config: PipelineConfig) -> boo
 
 def process_files(
     paths: list[str],
-    config: PipelineConfig | str,
+    config: PipelineConfig | str | tuple | list,
     mesh=None,
     suffix: str = ".out",
     max_batch: int = 256,
