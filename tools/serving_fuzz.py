@@ -29,13 +29,17 @@ import sys
 import tempfile
 import time
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # fuzz_campaign
 
-import jax
+# CPU campaign tool — but tests import run_round too, and an IPT_TEST_TPU=1
+# suite run must keep whatever backend the conftest chose.
+if os.environ.get("IPT_TEST_TPU") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
-jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 
