@@ -228,6 +228,32 @@ def main():
                 "the kilobyte-scale geometry tables.",
     }
 
+    # 7. Fan-out serving under DP: a tuple of presets in ONE program, batch
+    # sharded over the mesh — every preset's compute is per-image, so the
+    # partitioner must emit ZERO collectives (the decoded batch is read
+    # once and shared; outputs shard like the inputs).
+    from imageprocessingtools_tpu.serving import _fanout_pipeline_fn
+
+    fan_one, _ = _fanout_pipeline_fn(("edge_detect", "print_ready"))
+    fan_batch = jnp.zeros((2 * n, 32, 48, 3), jnp.uint8)
+    fan_sharded = jax.device_put(
+        fan_batch, NamedSharding(mesh, P("data", None, None, None)))
+    ffn = jax.jit(
+        jax.vmap(fan_one),
+        in_shardings=NamedSharding(mesh, P("data")),
+        out_shardings=NamedSharding(mesh, P("data")),
+    )
+    fcompiled = ffn.lower(fan_sharded).compile()
+    report["programs"]["dp_fanout_presets"] = {
+        "global_batch": list(fan_batch.shape),
+        "presets": ["edge_detect", "print_ready"],
+        "collectives": _inventory(fcompiled),
+        "note": "fan-out serving (tuple of presets, one traced program) "
+                "under batch data parallelism: per-image compute only, so "
+                "no collectives are expected or emitted — N preset outputs "
+                "ride one sharded dispatch over the shared uint8 batch.",
+    }
+
     print(json.dumps(report, indent=2))
 
 
