@@ -36,6 +36,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # fuzz_campaign
 # suite run must keep whatever backend the conftest chose.
 if os.environ.get("IPT_TEST_TPU") != "1":
     os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        # 8 virtual devices so the mesh-sharded rounds actually shard
+        # (standalone runs; under pytest the conftest already sets this).
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8").strip()
 
     import jax
 
@@ -114,7 +120,18 @@ def run_round(seed: int, workdir: str) -> tuple[dict, list[str]]:
     task_kind = int(rng.integers(0, 3))
     max_batch = int(rng.integers(2, 7))  # force multi-chunk paths
     overlap = bool(rng.integers(0, 2))
-    rec.update(max_batch=max_batch, overlap=overlap)
+    mesh = None
+    if rng.random() < 0.34:
+        # Shard ~1/3 of rounds over the local mesh (8 virtual CPU devices
+        # in CI; chunk sizes 2-6 vs 8 devices also fuzz the pad/slice
+        # remainder path on every chunk).
+        import jax as _jax
+
+        from imageprocessingtools_tpu.parallel.batch import default_mesh
+
+        if len(_jax.devices()) > 1:
+            mesh = default_mesh()
+    rec.update(max_batch=max_batch, overlap=overlap, mesh=mesh is not None)
     if task_kind == 0:
         args = _random_args(rng, shapes[0][1])
         # B9/B7 domains are the CLI campaign's job; keep widths sane here.
@@ -141,7 +158,7 @@ def run_round(seed: int, workdir: str) -> tuple[dict, list[str]]:
     failures: dict = {}
     outs = serving.process_files(
         paths, config, suffix=".srv", max_batch=max_batch, overlap=overlap,
-        on_error="skip", failures=failures)
+        mesh=mesh, on_error="skip", failures=failures)
 
     # --- corrupt files: recorded, no output, correct count.
     if set(failures) != set(bad):
@@ -238,6 +255,7 @@ def main() -> None:
         "n_rounds": n_rounds,
         "seed_base": seed_base,
         "task_mix": tally,
+        "mesh_rounds": sum(1 for r in rounds if r.get("mesh")),
         "total_files": sum(r["n_files"] for r in rounds),
         "total_corrupt": sum(r["n_bad"] for r in rounds),
         "contract": (
