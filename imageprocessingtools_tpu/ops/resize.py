@@ -58,9 +58,11 @@ def _apply_pass(img: jnp.ndarray, weight: jnp.ndarray, dim: int) -> jnp.ndarray:
     src = img.astype(jnp.float32)
     # precision=HIGH (3-pass bf16 ~ f32-grade): measured within the +-1
     # budget across a 24-case on-TPU fuzz vs the f64 golden (worst diff 1)
-    # and ~10% faster than HIGHEST at 4K (6.56 vs 7.26 ms same-run). The
-    # plain TPU default (1-pass bf16) has a worst-case tap-rounding error of
-    # several LSB, so it stays off parity paths.
+    # and faster than HIGHEST at 4K (6.56 vs 7.26 ms same-run; both
+    # readings carried a common ~5 ms harness-feedback term — see the
+    # correction note below — so the net matmul gap is larger than the
+    # raw 10%). The plain TPU default (1-pass bf16) has a worst-case
+    # tap-rounding error of several LSB, so it stays off parity paths.
     if dim == 0:
         # out[o, w, c] = sum_h W[o, h] * img[h, w, c]
         acc = jnp.einsum(
@@ -107,6 +109,17 @@ def _apply_pass(img: jnp.ndarray, weight: jnp.ndarray, dim: int) -> jnp.ndarray:
 # rate saves. It also carries a +-2 budget (its ~0.1-LSB per-pass weight
 # error flips ~2% of pass-1 roundings, which the second pass can amplify),
 # so it lost on both axes and was removed.
+#
+# CORRECTION (late round 3, FEEDBACK_VALIDATION_r03.json): every absolute
+# number in the two A/B paragraphs above was measured with the loop
+# harness's ravel/tile feedback, which for shape-changing outputs costs
+# ~5 ms at this geometry ON ITS OWN (the same artifact class that
+# polluted PROFILE_r02's gray/mono rows). The A/B *conclusions* stand —
+# both sides of each comparison carried the same tax, and net of it the
+# margins only widen (banded ~5.5 vs dense ~1.3; int8 ~4.2 vs ~1.4) —
+# but the honest absolute cost of the dense HIGH resize at 4K->1920 is
+# ~1.3 ms (validated two ways: scalar-reduction-feedback loop 1.27-1.36
+# ms vs a feedback-free dense-dependency chain 0.95-1.60 ms, same run).
 # ---------------------------------------------------------------------------
 
 _BAND_GROUP = 32  # output rows per block: band stays small, M-dim utilization ok

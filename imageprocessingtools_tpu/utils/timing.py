@@ -84,6 +84,21 @@ def device_loop_rate(body, img, iters: int = 20, repeats: int = 3) -> float:
                 # image is ~17 ms of relayout (lore).
                 row = jnp.tile(out.astype(jnp.uint8), shape[1] // out.shape[0])
                 return jnp.broadcast_to(row[None, :], shape)
+            if out.ndim == 3 and len(shape) == 3 and out.shape != shape:
+                # Shape-changing HWC output (resize/thumbnail): rebuilding
+                # the input from the output would dominate the row (the
+                # generic ravel/tile path costs ~7.6 ms at 4K — lore), so
+                # carry the ORIGINAL input forward perturbed by a scalar
+                # REDUCTION of the output. The reduction consumes every
+                # output element (XLA cannot dead-code-narrow the op to
+                # one pixel) and the xor keeps the loop-carried dependency
+                # (nothing hoists); feedback cost is one cheap elementwise
+                # pass over the input. Validated against a feedback-free
+                # straight-line dense-dependency chain on hardware
+                # (FEEDBACK_VALIDATION_r03.json: the two methods agree at
+                # 4K->1920 and 1080p->256).
+                s = jnp.sum(out.astype(jnp.int32)).astype(jnp.uint8)
+                return carry ^ s
             flat = jnp.ravel(out.astype(jnp.uint8))
             reps = -(-need // flat.shape[0])
             return jnp.tile(flat, reps)[:need].reshape(shape)

@@ -7,9 +7,12 @@ measured in N_PASSES spaced passes with the on-device fori_loop harness
 axon tunnel), and each row reports the MIN across passes plus the raw
 per-pass values and spread. Writes PRESETS_r03.json.
 
-`thumbnail` resizes 1080p -> 256-wide, so its loop feedback rebuilds the
-input from a smaller output (the harness's generic ravel/tile path); its
-row therefore carries the documented feedback tax and is labeled.
+`thumbnail` resizes 1080p -> 256-wide (shape-changing), so its loop
+feedback uses the harness's scalar-reduction path: the original input is
+carried forward xor'd with a sum over the output — every output element is
+consumed (no dead-code narrowing) at ~one elementwise pass of feedback
+cost, instead of the ~7.6 ms ravel/tile reconstruction the first committed
+run paid.
 """
 
 from __future__ import annotations
@@ -64,9 +67,11 @@ def main() -> None:
                 len(passes[name]) - len(real)
             )
     rows["thumbnail"]["note"] = (
-        "output is 256-wide, so the loop feedback rebuilds the 1080p input "
-        "via the harness's generic ravel/tile path — the row includes that "
-        "feedback tax (the other presets use the cheap stack/roll feedback)"
+        "shape-changing output: measured with the harness's "
+        "scalar-reduction feedback (input xor sum(output) — all output "
+        "elements consumed, ~one elementwise pass of feedback cost) "
+        "instead of the ravel/tile reconstruction the first committed "
+        "run paid (2.31 ms then vs this row now)"
     )
     doc = {
         "date": time.strftime("%Y-%m-%d"),
