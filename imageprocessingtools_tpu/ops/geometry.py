@@ -670,9 +670,12 @@ def rotate(img: jnp.ndarray, angle_deg: float, strict: bool = False) -> jnp.ndar
     ):
         # Per-tile-DMA Pallas kernel (same zone semantics and +-1 budget,
         # tighter interior quantization), OPT-IN via IPT_PALLAS_ROTATE=1.
-        # It beats the XLA blocked path by only ~1.3 ms/call at 4K
-        # (57.0 vs 58.3 same-run) while its per-geometry Mosaic compile
-        # costs minutes — break-even is ~10^5 same-geometry calls — so a
+        # True in-loop win over the XLA blocked path: 4.8 ms/call at 4K
+        # (30.8 vs 35.6 ms, 5/5 interleaved passes —
+        # ROTATE_INLOOP_AB_r03.json; the earlier dispatch A/B read the
+        # delta as ~1.3 ms because both sides carried ~48 ms of tunnel
+        # dispatch overhead) while its per-geometry Mosaic compile costs
+        # minutes — break-even is ~4-10 x 10^4 same-geometry calls — so a
         # default dispatch would tax every CLI/serving user for a win
         # almost nobody reaches. Long-running same-geometry services can
         # opt in; tracer inputs (vmap/jit of the caller), sub-1.5 MPix
