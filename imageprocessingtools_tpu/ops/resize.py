@@ -101,6 +101,14 @@ def _apply_pass(img: jnp.ndarray, weight: jnp.ndarray, dim: int) -> jnp.ndarray:
 # f32 sums over the extra zeros are exact, so banded and dense agree except
 # for MXU accumulation-order ulps — both inside the documented +-1 budget.
 #
+# Upscale re-check with the validated harness (late round 3, compile-once
+# interleaved 5-pass A/B): banded edges dense at 4K->7680 by ~4% (9.12 vs
+# 9.48 ms median; banded won all 5 passes, even running HIGHEST vs the
+# dense path's HIGH) but loses at 1080p->3840 (1.49 vs 1.14). A ~4% win
+# confined to giant upscales doesn't justify routing: the dense default
+# stands, and the honest numbers replace the tax-carrying 13.0-vs-14.0
+# reading quoted above.
+#
 # Also measured and REJECTED (same-run A/B at 4K->1920 on the chip): a
 # two-level int8 weight split (w ~ q1/64 + q2/8192, exact int32 MXU dots —
 # the Pallas rotation kernel's scheme) ran 9.41 ms vs 6.69 for the f32
