@@ -139,7 +139,14 @@ def main() -> None:
     doc = {
         "date": time.strftime("%Y-%m-%d"),
         "device": str(jax.devices()),
-        "method": __doc__.strip().split("\n\n")[1],
+        "method": (
+            "per geometry, N_PASSES interleaved passes spaced 8 s: "
+            "(1) device_loop_rate with the scalar-reduction feedback "
+            "(carry ^ sum(out)); (2) straight-line K-step jit chains "
+            "(x = img ^ zero-pad(out)) timed at K_hi minus K_lo so "
+            "dispatch RTT cancels, minus a slice-only control chain "
+            "pricing the pad+xor feedback itself"
+        ),
         "rows": [
             measure_geometry(2160, 3840, 1920, khi=6, loop_iters=20),
             measure_geometry(1080, 1920, 256, khi=129, loop_iters=50),
