@@ -78,7 +78,12 @@ def _op_table():
         ("gray (planar in)", lambda p: (
             p[0].astype("int32") + p[1].astype("int32")
             + p[2].astype("int32")) // 3, (3, H, W), 1),
-        ("rotate30", lambda c: ipt.rotate(c, 30), None, 1, "dispatch"),
+        # rotate30 measures in-loop since the late-round harness validation:
+        # the 30deg program compiles inside fori_loop in seconds (only some
+        # angles, e.g. 5deg, hit the >10-min XLA compile that forces
+        # dispatch rows), and the eager-dispatch alternative carries ~48 ms
+        # of tunnel overhead (~2x the noop RTT floor) per call.
+        ("rotate30", lambda c: ipt.rotate(c, 30), None, 1),
         ("rotate30 b=4 1080p", lambda c: vrot_1080(c), (4, 1080, 1920, 3), 4,
          "dispatch"),
         ("rotate30 b=2 4K", lambda c: vrot_4k(c), (2, H, W, 3), 2,
@@ -181,6 +186,13 @@ def main() -> None:
             continue
         vals = passes[name]
         sec = min(vals) / n_img  # per image
+        underflow = min(vals) * 1e3 < 0.01
+        if underflow:
+            # 0-iter-baseline window mismatch can underflow a pass to ~0
+            # (CLAUDE.md lore: "medians/ranks absorb them, minima don't")
+            # — a 0.000 ms min would print an absurd rate, so such rows
+            # report the MEDIAN pass instead and carry both values.
+            sec = sorted(vals)[len(vals) // 2] / n_img
         row_mpix = (
             mpix if shape is None
             else (shape[0] * shape[1] if len(shape) == 2
@@ -190,10 +202,12 @@ def main() -> None:
             "ms": round(sec * 1e3, 3),
             "gpix_per_s": round(row_mpix / sec / 1e3, 3),
             "passes_ms": [round(v / n_img * 1e3, 3) for v in vals],
-            "spread_max_over_min": round(max(vals) / min(vals), 2),
+            "spread_max_over_min": round(max(vals) / max(min(vals), 1e-6), 2),
             "method": method,
         }
-        if sec * 1e3 < 0.05:
+        if underflow:
+            row["stat"] = "median (min underflowed to ~0)"
+        if sec * 1e3 < 0.05 or underflow:
             row["below_resolution"] = True
             row["note"] = ("op is below the loop harness's resolution in "
                            "at least one window; treat ms/gpix as a bound, "
@@ -225,10 +239,14 @@ def main() -> None:
                 f"{N_PASSES} passes spaced {PASS_GAP_S}s apart (time-shared "
                 "chip — see passes_ms / spread for the contention). "
                 "method=loop rows use the on-device fori_loop harness "
-                "(tunnel excluded); method=dispatch rows (rotation — its "
-                "in-loop XLA compile can exceed 10 min) are eager jitted "
-                "dispatches whose times INCLUDE the tunnel RTT floor "
-                "below. C reference numbers are end-to-end CLI wall times "
+                "(tunnel excluded; shape-changing outputs use the "
+                "scalar-reduction feedback validated in "
+                "FEEDBACK_VALIDATION_r03.json); method=dispatch rows "
+                "(batched rotation — vmapped rotation's in-loop XLA "
+                "compile exceeds 10 min) are eager jitted dispatches "
+                "whose times INCLUDE the real per-dispatch tunnel "
+                "overhead, ~2x the noop RTT floor below. C reference "
+                "numbers are end-to-end CLI wall times "
                 "(BASELINE.md) on the 1-vCPU host — same work per image, "
                 "the C has no op-only mode."
             ),
