@@ -76,6 +76,13 @@ def apply_lut(values: jnp.ndarray, lut: jnp.ndarray) -> jnp.ndarray:
     """Gather-free LUT apply: uint8 values through a 256-entry integer LUT.
 
     ``lut`` must hold integers in [0, 256) (uint8 or wider). Exact.
+
+    HWC inputs pay a (C, 16) minor-dims tiling tax on the one-hot
+    intermediates (~4x the 2-D gray cost at 4K instead of the linear 3x),
+    but the obvious fix loses: reshaping [H, W, 3] -> [H, 3W] first was
+    measured 1.7x SLOWER same-run on hardware (3.37 vs 1.97 ms at 4K,
+    5/5 interleaved passes — the uint8 retiling relayout costs more than
+    the tax it removes). Direct application is the best known form.
     """
     v = as_i32(values)
     hi_oh = ((v[..., None] >> 4) == _iota16()).astype(jnp.bfloat16)
