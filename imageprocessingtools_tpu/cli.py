@@ -136,6 +136,15 @@ def _parse_args(argv: list[str]) -> tuple[PipelineConfig, str]:
 
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    # One process per invocation (like the reference binary): reload
+    # compiled programs from the persistent cache instead of re-paying the
+    # per-geometry XLA compile every run (IPT_COMPILE_CACHE=0 disables;
+    # see utils/compile_cache.py for the measured savings).
+    from imageprocessingtools_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
     try:
         config, filename = _parse_args(argv)
     except _CliError as e:

@@ -58,6 +58,11 @@ def _report_skipped(failures: dict) -> None:
 
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    from imageprocessingtools_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
     serve_opts = {"spatial": False, "max_batch": 256, "overlap": True,
                   "mesh": False, "preset": None, "suffix": ".out",
                   "resume": False, "skip_bad": False}

@@ -1,0 +1,52 @@
+"""Persistent XLA compilation cache for the process-per-invocation surfaces.
+
+The CLI runs one process per image (mirroring the reference binary), so
+every invocation would re-pay the per-geometry XLA compile (~0.6-2 s) —
+and a Pallas-kernel user would re-pay a minutes-scale Mosaic compile.
+JAX's persistent compilation cache removes both across processes: compiled
+executables are keyed by program hash and reloaded from disk.
+
+Measured on the TPU backend (same geometry, fresh processes): resize CLI
+program 1.19 s cold vs 0.67 s cache-hit; a Pallas histogram kernel
+program reloads in ~1.0 s from a 60 KB cache entry. On standard TPU
+deployments (no shared server-side cache) the Pallas saving is the
+minutes-scale compile itself.
+
+Policy: enabled by the CLI/serve entry points only (a library import must
+not mutate global JAX config or write to disk). Default cache dir is
+``~/.cache/imageprocessingtools_tpu/xla``; override with
+``IPT_COMPILE_CACHE=<dir>``; disable with ``IPT_COMPILE_CACHE=0``.
+"""
+
+from __future__ import annotations
+
+import os
+
+_DISABLE_VALUES = {"0", "off", "false", "no"}
+
+
+def enable_persistent_cache() -> str | None:
+    """Point JAX's persistent compilation cache at the configured dir.
+
+    Returns the cache dir, or None when disabled or unsupported. Never
+    raises: a cache is an optimization, not a dependency — any failure
+    (old JAX without the config, unwritable dir) degrades to no caching.
+    """
+    env = os.environ.get("IPT_COMPILE_CACHE", "")
+    if env.strip().lower() in _DISABLE_VALUES:
+        return None
+    cache_dir = env or os.path.join(
+        os.path.expanduser("~"), ".cache", "imageprocessingtools_tpu", "xla"
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # Cache every program: the CLI's per-geometry programs compile in
+        # ~1 s each (below the 1 s default threshold) yet dominate
+        # one-process-per-file wall time.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        return None
+    return cache_dir
