@@ -47,6 +47,10 @@ def enable_persistent_cache() -> str | None:
         # ~1 s each (below the 1 s default threshold) yet dominate
         # one-process-per-file wall time.
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        # Entries are 10-100 KB, but a long-lived serving host sees many
+        # geometries: bound the cache (LRU-evicted by JAX) so it cannot
+        # grow without limit.
+        jax.config.update("jax_compilation_cache_max_size", 1 << 30)
     except Exception:
         return None
     return cache_dir
