@@ -678,8 +678,12 @@ def rotate(img: jnp.ndarray, angle_deg: float, strict: bool = False) -> jnp.ndar
         # minutes — break-even is ~4-10 x 10^4 same-geometry calls — so a
         # default dispatch would tax every CLI/serving user for a win
         # almost nobody reaches. Long-running same-geometry services can
-        # opt in; tracer inputs (vmap/jit of the caller), sub-1.5 MPix
-        # images, and unfit plans stay on the XLA path regardless.
+        # opt in; with the persistent compilation cache (the CLI/serve
+        # entry points enable it — utils/compile_cache.py) the Mosaic
+        # compile is paid once per geometry EVER, so a restarting service
+        # accumulates toward break-even across process generations.
+        # Tracer inputs (vmap/jit of the caller), sub-1.5 MPix images,
+        # and unfit plans stay on the XLA path regardless.
         from imageprocessingtools_tpu.kernels.pallas_rotate import (
             pallas_profitable,
             rotate_blocked_pallas,
