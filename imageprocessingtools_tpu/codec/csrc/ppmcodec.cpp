@@ -16,6 +16,10 @@
 #include <thread>
 #include <vector>
 
+#include <errno.h>
+#include <fcntl.h>
+#include <unistd.h>
+
 namespace {
 
 constexpr int kOk = 0;
@@ -231,6 +235,67 @@ void ppmx_pack_bits(const uint8_t* src, uint8_t* dst, uint32_t w, uint32_t h) {
 // since our layout is already HWC.
 void ppmx_copy(const uint8_t* src, uint8_t* dst, size_t nbytes) {
   std::memcpy(dst, src, nbytes);
+}
+
+namespace {
+
+// Full write with EINTR/partial-write handling; true on success.
+bool write_all(int fd, const uint8_t* buf, size_t len) {
+  while (len > 0) {
+    ssize_t n = ::write(fd, buf, len);
+    if (n < 0) {
+      if (errno == EINTR) continue;
+      return false;
+    }
+    buf += n;
+    len -= static_cast<size_t>(n);
+  }
+  return true;
+}
+
+}  // namespace
+
+// Batched parallel file ENCODE: the write-side twin of ppmx_decode_batch
+// (the reference's encoder, ppmx-edward.c:221-301, emits ONE byte per
+// fwrite; this writes each file as two full buffers — header + payload —
+// and parallelizes across files). File i on disk is
+//   headers[i][0:header_lens[i]] ++ src[i*stride : i*stride + payload_bytes]
+// (headers carry the magic/comment/dims/maxval built by the host language;
+// payloads are the already-contiguous uint8 image/packed-bit rows). Per-file
+// results land in rcs[i]: 0 ok, -10 open failure, -11 write/close failure.
+// Returns 0 iff every file succeeded, else the first nonzero rc.
+int ppmx_encode_batch_files(const uint8_t* src, size_t stride,
+                            size_t payload_bytes, int n,
+                            const char* const* paths,
+                            const uint8_t* const* headers,
+                            const size_t* header_lens, int* rcs,
+                            int nthreads) {
+  if (nthreads < 1) nthreads = 1;
+  auto worker = [&](int t) {
+    for (int i = t; i < n; i += nthreads) {
+      int fd = ::open(paths[i], O_WRONLY | O_CREAT | O_TRUNC, 0666);
+      if (fd < 0) {
+        rcs[i] = -10;
+        continue;
+      }
+      bool ok = write_all(fd, headers[i], header_lens[i]) &&
+                write_all(fd, src + stride * static_cast<size_t>(i),
+                          payload_bytes);
+      if (::close(fd) != 0) ok = false;
+      rcs[i] = ok ? kOk : -11;
+    }
+  };
+  if (nthreads == 1) {
+    worker(0);
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(static_cast<size_t>(nthreads));
+    for (int t = 0; t < nthreads; ++t) threads.emplace_back(worker, t);
+    for (auto& th : threads) th.join();
+  }
+  for (int i = 0; i < n; ++i)
+    if (rcs[i] != kOk) return rcs[i];
+  return kOk;
 }
 
 }  // extern "C"

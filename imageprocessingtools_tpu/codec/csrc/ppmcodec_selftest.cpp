@@ -6,11 +6,15 @@
 // surface. Built and run by tests/test_sanitizers.py with
 // -fsanitize=address,undefined; exits nonzero on any behavioral mismatch.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <string>
 #include <vector>
+
+#include <unistd.h>
 
 extern "C" {
 int ppmx_parse_header(const uint8_t*, size_t, uint32_t*, uint32_t*, uint32_t*,
@@ -19,6 +23,9 @@ int ppmx_decode_one(const uint8_t*, size_t, uint8_t*, uint32_t, uint32_t);
 int ppmx_decode_batch(const uint8_t* const*, const size_t*, int, uint8_t*,
                       uint32_t, uint32_t, int);
 void ppmx_pack_bits(const uint8_t*, uint8_t*, uint32_t, uint32_t);
+int ppmx_encode_batch_files(const uint8_t*, size_t, size_t, int,
+                            const char* const*, const uint8_t* const*,
+                            const size_t*, int*, int);
 }
 
 static int failures = 0;
@@ -125,6 +132,69 @@ int main() {
     std::vector<uint8_t> src(wid * 3, 1);
     std::vector<uint8_t> dst(((wid + 7) / 8) * 3);
     ppmx_pack_bits(src.data(), dst.data(), wid, 3);
+  }
+
+  // Batched parallel encode: round-trip through the decoder, plus the
+  // per-file error surface on an unwritable path.
+  {
+    char dirtmpl[] = "/tmp/ppmx_selftest_XXXXXX";
+    char* dir = mkdtemp(dirtmpl);
+    CHECK(dir != nullptr, "mkdtemp");
+    const int n = 5;
+    const uint32_t ew = 9, eh = 4;
+    std::vector<uint8_t> payloads(n * ew * eh * 3);
+    for (size_t i = 0; i < payloads.size(); ++i)
+      payloads[i] = static_cast<uint8_t>(i * 13 + 1);
+    std::string hdr = "P6\n# generated by ppmx_edward\n9 4\n255\n";
+    std::vector<std::string> enc_paths;
+    std::vector<const char*> enc_cpaths;
+    std::vector<const uint8_t*> hdrs;
+    std::vector<size_t> hdr_lens;
+    for (int i = 0; i < n; ++i) {
+      enc_paths.push_back(std::string(dir) + "/enc" + std::to_string(i) +
+                          ".ppm");
+      hdrs.push_back(reinterpret_cast<const uint8_t*>(hdr.data()));
+      hdr_lens.push_back(hdr.size());
+    }
+    for (auto& p : enc_paths) enc_cpaths.push_back(p.c_str());
+    std::vector<int> enc_rcs(n, -99);
+    const size_t stride = ew * eh * 3;
+    CHECK(ppmx_encode_batch_files(payloads.data(), stride, stride, n,
+                                  enc_cpaths.data(), hdrs.data(),
+                                  hdr_lens.data(), enc_rcs.data(), 3) == 0,
+          "batch encode succeeds");
+    for (int i = 0; i < n; ++i) CHECK(enc_rcs[i] == 0, "per-file rc ok");
+    // Decode one written file back and compare payload bytes.
+    std::FILE* f = std::fopen(enc_cpaths[2], "rb");
+    CHECK(f != nullptr, "written file opens");
+    if (f) {
+      std::string data(hdr.size() + stride + 1, '\0');
+      size_t got = std::fread(&data[0], 1, data.size(), f);
+      std::fclose(f);
+      CHECK(got == hdr.size() + stride, "written file size exact");
+      data.resize(got);
+      std::vector<uint8_t> dec(ew * eh * 3);
+      CHECK(ppmx_decode_one(reinterpret_cast<const uint8_t*>(data.data()),
+                            hdr.size() + stride, dec.data(), ew, eh) == 0,
+            "round-trip decode");
+      CHECK(std::memcmp(dec.data(), payloads.data() + 2 * stride, stride) == 0,
+            "round-trip payload bytes");
+    }
+    // One bad path among good ones: only that file's rc fails.
+    enc_paths[1] = std::string(dir) + "/no_such_dir/enc.ppm";
+    enc_cpaths.clear();
+    for (auto& p : enc_paths) enc_cpaths.push_back(p.c_str());
+    std::fill(enc_rcs.begin(), enc_rcs.end(), -99);
+    CHECK(ppmx_encode_batch_files(payloads.data(), stride, stride, n,
+                                  enc_cpaths.data(), hdrs.data(),
+                                  hdr_lens.data(), enc_rcs.data(), 2) == -10,
+          "bad path reported");
+    CHECK(enc_rcs[1] == -10, "bad file rc is open-failure");
+    CHECK(enc_rcs[0] == 0 && enc_rcs[2] == 0 && enc_rcs[3] == 0 &&
+              enc_rcs[4] == 0,
+          "good files unaffected by the bad one");
+    for (auto& p : enc_paths) std::remove(p.c_str());
+    rmdir(dir);
   }
 
   if (failures) {

@@ -309,33 +309,30 @@ def _write_p4(out_path: str, packed_rows: np.ndarray, height: int,
 
 def _encode_chunk(idxs, out_np, file_type, unpacked, paths, metas, suffix,
                   out_paths, names=None) -> None:
-    """Host-encode one processed chunk to ``<path><suffix>`` files; for
-    fan-out (``names`` given) to ``<path>.<preset><suffix>`` per preset."""
+    """Host-encode one processed chunk to ``<path><suffix>`` files via the
+    threaded native batch encoder (``native.encode_batch_files`` — the
+    reference encoder at ``ppmx-edward.c:221-301`` is 1 byte/fwrite, one
+    image/process); for fan-out (``names`` given) to
+    ``<path>.<preset><suffix>`` per preset."""
     if names is not None:
         for k, name in enumerate(names):
-            for j, i in enumerate(idxs):
-                out_path = paths[i] + "." + name + suffix
-                if file_type[k] == FILETYPE_PBM:
-                    _write_p4(out_path, out_np[k][j],
-                              unpacked[k][0], unpacked[k][1])
-                else:
-                    ppm.write_ppm(out_path, out_np[k][j],
-                                  file_type=file_type[k],
-                                  max_color=metas[i][2])
-                out_paths[i][k] = out_path
-        return
-    for j, i in enumerate(idxs):
-        out_path = paths[i] + suffix
-        if file_type == FILETYPE_PBM:
-            _write_p4(out_path, out_np[j], unpacked[0], unpacked[1])
-        else:
-            ppm.write_ppm(
-                out_path,
-                out_np[j],
-                file_type=file_type,
-                max_color=metas[i][2],
+            files = [paths[i] + "." + name + suffix for i in idxs]
+            native.encode_batch_files(
+                files, out_np[k], file_type[k],
+                [metas[i][2] for i in idxs],
+                p4_dims=unpacked[k] if file_type[k] == FILETYPE_PBM else None,
             )
-        out_paths[i] = out_path
+            for j, i in enumerate(idxs):
+                out_paths[i][k] = files[j]
+        return
+    files = [paths[i] + suffix for i in idxs]
+    native.encode_batch_files(
+        files, out_np, file_type,
+        [metas[i][2] for i in idxs],
+        p4_dims=unpacked if file_type == FILETYPE_PBM else None,
+    )
+    for j, i in enumerate(idxs):
+        out_paths[i] = files[j]
 
 
 def _to_host(out):

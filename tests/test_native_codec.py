@@ -109,3 +109,58 @@ def test_native_parse_file_header_matches_python(tmp_path):
         except ppm.PPMError as e:
             nat = ("err", str(e))
         assert nat == py, (name, nat, py)
+
+
+@pytest.mark.parametrize("file_type", [ppm.FILETYPE_PPM, ppm.FILETYPE_PGM])
+@pytest.mark.parametrize("shape", [(1, 1), (5, 3), (16, 9), (31, 64)])
+def test_encode_batch_files_byte_identical(tmp_path, file_type, shape):
+    rng = np.random.default_rng(hash(shape) % 2**31)
+    n = 6
+    if file_type == ppm.FILETYPE_PPM:
+        batch = rng.integers(0, 256, size=(n, *shape, 3), dtype=np.uint8)
+    else:
+        batch = rng.integers(0, 256, size=(n, *shape), dtype=np.uint8)
+    maxvals = [255, 1, 65535, 255, 300, 7]
+    paths = [str(tmp_path / f"e{i}.out") for i in range(n)]
+    native.encode_batch_files(paths, batch, file_type, maxvals)
+    for i, p in enumerate(paths):
+        with open(p, "rb") as f:
+            assert f.read() == ppm.encode_ppm(batch[i], file_type, maxvals[i])
+
+
+@pytest.mark.parametrize("width", [1, 5, 8, 13, 17])
+def test_encode_batch_files_p4_byte_identical(tmp_path, width):
+    rng = np.random.default_rng(width)
+    n, h = 4, 6
+    bits = rng.integers(0, 2, size=(n, h, width), dtype=np.uint8)
+    packed = np.packbits(bits, axis=2)
+    paths = [str(tmp_path / f"b{i}.out") for i in range(n)]
+    native.encode_batch_files(
+        paths, packed, ppm.FILETYPE_PBM, [255] * n, p4_dims=(h, width))
+    for i, p in enumerate(paths):
+        with open(p, "rb") as f:
+            assert f.read() == ppm.encode_ppm(bits[i], ppm.FILETYPE_PBM)
+
+
+def test_encode_batch_files_error_surface(tmp_path):
+    batch = np.zeros((2, 3, 4, 3), dtype=np.uint8)
+    bad = [str(tmp_path / "ok.out"), str(tmp_path / "no_dir" / "x.out")]
+    with pytest.raises(ppm.PPMError) as ei:
+        native.encode_batch_files(bad, batch, ppm.FILETYPE_PPM, [255, 255])
+    assert ei.value.message == "Error: unable to open file for writing\n"
+    # The good file is still written (per-file isolation in the writer).
+    with open(bad[0], "rb") as f:
+        assert f.read() == ppm.encode_ppm(batch[0])
+
+
+def test_encode_batch_files_noncontiguous_and_empty(tmp_path):
+    # A strided view (every other image) must be handled via the
+    # ascontiguousarray copy, and n == 0 must be a no-op.
+    rng = np.random.default_rng(9)
+    batch = rng.integers(0, 256, size=(6, 4, 5, 3), dtype=np.uint8)[::2]
+    paths = [str(tmp_path / f"s{i}.out") for i in range(3)]
+    native.encode_batch_files(paths, batch, ppm.FILETYPE_PPM, [255] * 3)
+    for i, p in enumerate(paths):
+        with open(p, "rb") as f:
+            assert f.read() == ppm.encode_ppm(batch[i])
+    native.encode_batch_files([], batch[:0], ppm.FILETYPE_PPM, [])

@@ -139,15 +139,30 @@ def main() -> None:
         len(chunk) * h * w / min(t_dec) / 1e6, 1)
     gray = batch.astype(np.uint16).sum(axis=3) // 3
     gray = gray.astype(np.uint8)
+    enc_paths = [
+        os.path.join(args.workdir, f"enc_probe_{j}.out")
+        for j in range(len(chunk))
+    ]
+    # What _encode_chunk actually runs: the threaded native batch encoder.
     t_enc = []
     for _ in range(2):
         t0 = time.perf_counter()
-        for j in range(len(chunk)):
-            ppm.write_ppm(os.path.join(args.workdir, "enc_probe.out"),
-                          gray[j], file_type=ppm.FILETYPE_PGM)
+        native.encode_batch_files(
+            enc_paths, gray, ppm.FILETYPE_PGM, [255] * len(chunk))
         t_enc.append(time.perf_counter() - t0)
     report["host_encode_mpix_s"] = round(
         len(chunk) * h * w / min(t_enc) / 1e6, 1)
+    # The round-3 probe (serial write_ppm loop), kept for comparison.
+    t_enc_py = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for j in range(len(chunk)):
+            ppm.write_ppm(enc_paths[j], gray[j], file_type=ppm.FILETYPE_PGM)
+        t_enc_py.append(time.perf_counter() - t0)
+    report["host_encode_py_mpix_s"] = round(
+        len(chunk) * h * w / min(t_enc_py) / 1e6, 1)
+    for p in enc_paths:
+        os.unlink(p)
     del buffers, batch, gray
 
     # Resident-device pipeline rate (loop harness, transfers excluded).
