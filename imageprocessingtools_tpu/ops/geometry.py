@@ -607,8 +607,31 @@ def rotation_decisions_safe(height: int, width: int, angle: float) -> bool:
     observables — zone masks and, where the nearest-neighbor band applies,
     the nearest index. Tap-base (floor) divergences are ignored: the cubic
     kernel is continuous across a base shift, so those stay inside the +-1
-    budget. O(outH*outW) on host; ~0.5 s at 4K.
+    budget. O(outH*outW) on host; ~0.5 s at 4K — so verdicts PERSIST
+    across processes (utils/audit_cache, keyed by a code-version hash):
+    the CLI is process-per-image and would otherwise re-pay the audit on
+    every same-geometry rotation.
     """
+    from imageprocessingtools_tpu.utils import audit_cache
+
+    cached = audit_cache.get(height, width, angle)
+    if cached is not None:
+        return cached
+    verdict = _rotation_decisions_safe_compute(height, width, angle)
+    audit_cache.put(height, width, angle, verdict)
+    return verdict
+
+
+def _rotation_decisions_safe_compute(
+    height: int, width: int, angle: float
+) -> bool:
+    # Chunked over output rows: the whole-plane form materialized ~15 f64
+    # arrays of outH*outW (~1.5 GB at 4K), each above glibc's mmap
+    # threshold, so EVERY computation re-paid this VM's ~20 MB/s
+    # first-touch fault on fresh anon pages (~90 s at 4K, measured — the
+    # "~0.5 s" figure held only with a recycled arena). Row chunks keep
+    # every temporary a few MB, arena-recycled after the first chunk, and
+    # allow early exit on the first divergent row band.
     folded = _exact.fold_angle(float(angle))
     new_w, new_h = _exact.calc_rot_size(folded, width, height)
     theta = (float(angle) * np.pi) / 180.0
@@ -625,20 +648,25 @@ def rotation_decisions_safe(height: int, width: int, angle: float) -> bool:
         edge = in_b & ~interior
         return interior, edge
 
-    nx64 = np.cos(theta) * xs[None, :] + np.sin(theta) * ys[:, None] + x_center
-    ny64 = -np.sin(theta) * xs[None, :] + np.cos(theta) * ys[:, None] + y_center
-    rx64 = np.floor(nx64 + 0.5)
-    ry64 = np.floor(ny64 + 0.5)
-    rx32 = _round_df32_host(np.cos(theta) * xs, np.sin(theta) * ys, x_center)
-    ry32 = _round_df32_host(-np.sin(theta) * xs, np.cos(theta) * ys, y_center)
-    i64, e64 = decisions(rx64, ry64)
-    i32, e32 = decisions(rx32.astype(np.float64), ry32.astype(np.float64))
-    if (i64 != i32).any() or (e64 != e32).any():
-        return False
-    if e64.any():
-        same_nearest = (rx64 == rx32) & (ry64 == ry32)
-        if not bool(same_nearest[e64].all()):
+    cos_xs = np.cos(theta) * xs
+    sin_xs = -np.sin(theta) * xs
+    chunk = max(1, (1 << 19) // max(new_w, 1))  # ~0.5 M elems / temporary
+    for r0 in range(0, new_h, chunk):
+        ysb = ys[r0 : r0 + chunk]
+        nx64 = cos_xs[None, :] + np.sin(theta) * ysb[:, None] + x_center
+        ny64 = sin_xs[None, :] + np.cos(theta) * ysb[:, None] + y_center
+        rx64 = np.floor(nx64 + 0.5)
+        ry64 = np.floor(ny64 + 0.5)
+        rx32 = _round_df32_host(cos_xs, np.sin(theta) * ysb, x_center)
+        ry32 = _round_df32_host(sin_xs, np.cos(theta) * ysb, y_center)
+        i64, e64 = decisions(rx64, ry64)
+        i32, e32 = decisions(rx32.astype(np.float64), ry32.astype(np.float64))
+        if (i64 != i32).any() or (e64 != e32).any():
             return False
+        if e64.any():
+            same_nearest = (rx64 == rx32) & (ry64 == ry32)
+            if not bool(same_nearest[e64].all()):
+                return False
     return True
 
 
