@@ -391,5 +391,20 @@ def rotate_blocked_pallas(img, angle: float, interpret: bool | None = None):
         jnp.asarray(bxh.reshape(n_g, G, 1)), jnp.asarray(bxl.reshape(n_g, G, 1)),
         jnp.asarray(byh.reshape(n_g, G, 1)), jnp.asarray(byl.reshape(n_g, G, 1)),
     )
+    if not (_interpret() if interpret is None else interpret):
+        # The dispatch above compiled (or cache-reloaded) the Mosaic
+        # program without raising: record the paid compile so future
+        # processes auto-route here (geometry.rotate's cache-aware
+        # dispatch) instead of requiring IPT_PALLAS_ROTATE=1.
+        memo = (height, width, float(angle))
+        if memo not in _recorded:
+            _recorded.add(memo)
+            from imageprocessingtools_tpu.utils import kernel_manifest
+
+            kernel_manifest.record_compile(
+                "rotate_blocked", height, width, float(angle))
     out = jnp.stack([out[c, :new_h, :new_w] for c in range(nch)], axis=-1)
     return out[:, :, 0] if squeeze else out
+
+
+_recorded: set = set()

@@ -670,6 +670,39 @@ def _rotation_decisions_safe_compute(
     return True
 
 
+def _pallas_rotate_wanted(img, angle: float) -> bool:
+    """Cache-aware Pallas-rotation dispatch policy.
+
+    The kernel's per-geometry Mosaic compile costs MINUTES, but once paid
+    it lives in the persistent compile cache and reloads in ~1 s —
+    comparable to the XLA blocked path's own 0.6-2 s compile, after which
+    every call wins 4.8 ms at 4K. So the default ("auto") routes to the
+    kernel exactly when utils/kernel_manifest records the compile as
+    already paid on this machine AND the same persistent cache is still
+    configured; a cold geometry stays on XLA. ``IPT_PALLAS_ROTATE=1``
+    forces the kernel (pays the cold compile — how a geometry first
+    enters the manifest); ``0`` disables it entirely. Tracer inputs
+    (vmap/jit of the caller), non-TPU backends, and sub-1.5 MPix images
+    never route here.
+    """
+    env = os.environ.get("IPT_PALLAS_ROTATE", "").strip().lower()
+    if env in ("0", "off", "false", "no"):
+        return False
+    if (
+        jax.default_backend() != "tpu"
+        or isinstance(img, jax.core.Tracer)
+        or img.shape[0] * img.shape[1] < 1_500_000
+    ):
+        return False
+    if env == "1":
+        return True
+    from imageprocessingtools_tpu.utils import kernel_manifest
+
+    return kernel_manifest.compile_paid(
+        "rotate_blocked", img.shape[0], img.shape[1], float(angle)
+    )
+
+
 def rotate(img: jnp.ndarray, angle_deg: float, strict: bool = False) -> jnp.ndarray:
     """CW rotation by ``angle_deg`` with the reference's exact zone logic.
 
@@ -690,33 +723,24 @@ def rotate(img: jnp.ndarray, angle_deg: float, strict: bool = False) -> jnp.ndar
         return rotate270(img)
     if strict and not rotation_decisions_safe(img.shape[0], img.shape[1], angle):
         return jnp.asarray(rotate_exact(img, angle))
-    if (
-        os.environ.get("IPT_PALLAS_ROTATE") == "1"
-        and jax.default_backend() == "tpu"
-        and not isinstance(img, jax.core.Tracer)
-        and img.shape[0] * img.shape[1] >= 1_500_000
-    ):
+    if _pallas_rotate_wanted(img, angle):
         # Per-tile-DMA Pallas kernel (same zone semantics and +-1 budget,
-        # tighter interior quantization), OPT-IN via IPT_PALLAS_ROTATE=1.
-        # True in-loop win over the XLA blocked path: 4.8 ms/call at 4K
-        # (30.8 vs 35.6 ms, 5/5 interleaved passes —
-        # ROTATE_INLOOP_AB_r03.json; the earlier dispatch A/B read the
-        # delta as ~1.3 ms because both sides carried ~48 ms of tunnel
-        # dispatch overhead) while its per-geometry Mosaic compile costs
-        # minutes — break-even is ~4-10 x 10^4 same-geometry calls — so a
-        # default dispatch would tax every CLI/serving user for a win
-        # almost nobody reaches. Long-running same-geometry services can
-        # opt in; with the persistent compilation cache (the CLI/serve
-        # entry points enable it — utils/compile_cache.py) the Mosaic
-        # compile is paid once per geometry EVER, so a restarting service
-        # accumulates toward break-even across process generations.
-        # Tracer inputs (vmap/jit of the caller), sub-1.5 MPix images,
-        # and unfit plans stay on the XLA path regardless.
+        # tighter interior quantization). True in-loop win over the XLA
+        # blocked path: 4.8 ms/call at 4K (30.8 vs 35.6 ms, 5/5
+        # interleaved passes — ROTATE_INLOOP_AB_r03.json; the earlier
+        # dispatch A/B read the delta as ~1.3 ms because both sides
+        # carried ~48 ms of tunnel dispatch overhead).
         from imageprocessingtools_tpu.kernels.pallas_rotate import (
             pallas_profitable,
             rotate_blocked_pallas,
         )
+        from imageprocessingtools_tpu.utils import log
 
+        log.emit(
+            "pallas_rotate_dispatch",
+            shape=tuple(img.shape), angle=angle,
+            forced=os.environ.get("IPT_PALLAS_ROTATE", "").strip() == "1",
+        )
         try:
             pallas_out = (
                 rotate_blocked_pallas(img, angle)
@@ -727,8 +751,6 @@ def rotate(img: jnp.ndarray, angle_deg: float, strict: bool = False) -> jnp.ndar
             # Mosaic has shipped silent shape-dependent limitations before
             # (see CLAUDE.md lore); an unforeseen compile failure on a new
             # geometry must degrade to the XLA path, not kill the caller.
-            from imageprocessingtools_tpu.utils import log
-
             log.emit(
                 "pallas_rotate_fallback",
                 shape=tuple(img.shape), angle=angle, error=repr(exc),

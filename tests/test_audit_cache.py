@@ -66,7 +66,7 @@ def test_rotation_decisions_safe_persists_across_lru_clear(cache_dir):
 
 
 def test_eviction_bound(cache_dir, monkeypatch):
-    monkeypatch.setattr(audit_cache, "_MAX_ENTRIES", 8)
+    monkeypatch.setattr(audit_cache._store, "max_entries", 8)
     for i in range(10):
         audit_cache.put(i, 1, 1.0, True)
     data = json.loads((cache_dir / "rotation_audit.json").read_text())
