@@ -49,6 +49,27 @@ class _CliError(Exception):
         self.show_usage = show_usage
 
 
+_LONG_MAX = 2**63 - 1
+
+
+def _c_atoi(digits: str) -> int:
+    """glibc ``atoi`` on an all-digit token (``ppmx-edward.c:151,164``).
+
+    strtol saturates to LONG_MAX on overflow (ERANGE) and the long->int
+    conversion truncates mod 2^32 on the oracle platform, so huge digit
+    strings WRAP: binary-verified ``-r4294967333`` == ``-r37`` and
+    ``-w8589934604`` == ``-w12`` byte-identical; ``-r4294967295`` -> -1 ->
+    "invalid option for rotate."; ``-w2147483649`` -> negative ->
+    "invalid option for new width". Python's ``int()`` is unbounded (and
+    refuses >4300-digit strings outright), so the saturate+truncate must
+    be explicit. ``atoi("") == 0``.
+    """
+    digits = digits.lstrip("0")  # no overflow from leading zeros
+    n = _LONG_MAX if len(digits) > 19 else min(int(digits or "0"), _LONG_MAX)
+    n &= 0xFFFFFFFF
+    return n - 2**32 if n >= 2**31 else n
+
+
 def _parse_args(argv: list[str]) -> tuple[PipelineConfig, str]:
     """Replicates the char-by-char argv scan (``ppmx-edward.c:125-183``)."""
     flip_v = flip_h = gray = mono = False
@@ -84,9 +105,10 @@ def _parse_args(argv: list[str]) -> tuple[PipelineConfig, str]:
                     raise _CliError("Error: invalid option for scaling.\n")
                 if new_width is not None:
                     raise _CliError("Error: Duplicate options not allowed\n")
-                # atoi("") == 0 in the ref; 0 is rejected later by the
-                # pipeline with "invalid option for new width".
-                new_width = int(digits) if digits else 0
+                # atoi semantics incl. "" -> 0 and mod-2^32 wrap; 0 and
+                # negatives are rejected later by the pipeline with
+                # "invalid option for new width".
+                new_width = _c_atoi(digits)
             elif rest[:1] == "r":
                 digits = rest[1:]
                 if digits == "":
@@ -95,7 +117,7 @@ def _parse_args(argv: list[str]) -> tuple[PipelineConfig, str]:
                     raise _CliError("Error: Duplicate options not allowed\n")
                 if not all(c in "0123456789" for c in digits):
                     raise _CliError("Error: invalid option for rotate.\n")
-                value = int(digits)
+                value = _c_atoi(digits)
                 if value < 0 or value >= 360:
                     raise _CliError("Error: invalid option for rotate.\n")
                 angle = float(value)

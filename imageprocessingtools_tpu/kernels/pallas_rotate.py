@@ -73,6 +73,21 @@ _TILE_L = 128
 # Members: "geom", "flat", "build", "dot2", "dots", "ystage".
 _ABLATE: frozenset = frozenset()
 
+# Round-4 formulation variants (tools/rotate_ystage_ab.py A/Bs these on
+# hardware; the winner set becomes the production default):
+# - "ydot": the y-combine's column-group sums run as ONE ones-vector MXU
+#   dot ([1, BH] x [BH, G*L]) + lane-slice unflat, instead of G sliced
+#   sublane-reduction chains. (A literal "second quantized dot" for the
+#   y-stage is impossible: out[p] = sum_r wy[r,p] * h[r,p] is a PER-COLUMN
+#   weighted reduction = diag(wy^T h); an MXU dot would compute the full
+#   [GL, GL] product for its diagonal, a 2048x waste. The reducible part
+#   is the reduction itself, which this variant moves to the MXU.)
+# - "packgather": the two x-tap selector tables are packed into ONE
+#   16-bit-in-f32 table ((q1+128)*256 + (q2+128), exact in f32), halving
+#   the dynamic_gather slab count of the selector-build stage; w1/w2 are
+#   recovered with a shift/mask after one gather.
+_VARIANTS: frozenset = frozenset()
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -120,7 +135,8 @@ def _pallas_plan(height: int, width: int, angle: float, G: int, L: int):
     )
 
 
-def _make_kernel(n_k, n_tiles, bh_al, bwp, width, height, xc, yc, nch, G, L):
+def _make_kernel(n_k, n_tiles, bh_al, bwp, width, height, xc, yc, nch, G, L,
+                 variants: frozenset = frozenset()):
     GL = G * L
 
     def kernel(sy_ref, sxa_ref, d_ref,
@@ -210,10 +226,20 @@ def _make_kernel(n_k, n_tiles, bh_al, bwp, width, height, xc, yc, nch, G, L):
             relx_f = flat(relx)                              # [1, GL] i32
             rely_f = flat(rely)
             zeros4 = jnp.zeros((4, GL), jnp.float32)
-            tab1 = jnp.concatenate(
-                [flat(q) for q in q1s] + [zeros4], axis=0)   # [8, GL] f32
-            tab2 = jnp.concatenate(
-                [flat(q) for q in q2s] + [zeros4], axis=0)
+            if "packgather" in variants:
+                # One packed table instead of two: (q1+128)*256 + (q2+128)
+                # in [0, 65535], exact in f32; the zero rows pack to
+                # 128*256 + 128 = 32896 (q1 = q2 = 0).
+                tabp = jnp.concatenate(
+                    [flat((q1 + 128.0) * 256.0 + (q2 + 128.0))
+                     for q1, q2 in zip(q1s, q2s)]
+                    + [jnp.full((4, GL), 32896.0, jnp.float32)], axis=0)
+                tab1 = tab2 = None
+            else:
+                tab1 = jnp.concatenate(
+                    [flat(q) for q in q1s] + [zeros4], axis=0)   # [8, GL] f32
+                tab2 = jnp.concatenate(
+                    [flat(q) for q in q2s] + [zeros4], axis=0)
             taby = jnp.concatenate(
                 [flat(w) for w in wys] + [zeros4], axis=0)
 
@@ -243,8 +269,13 @@ def _make_kernel(n_k, n_tiles, bh_al, bwp, width, height, xc, yc, nch, G, L):
                 + taby[0:1] + rely_f.astype(jnp.float32)
         else:
             dxm = lax.broadcasted_iota(jnp.int32, (bwp, GL), 0) - relx_f
-            w1 = gather_rows(tab1, dxm, bwp).astype(jnp.int32).astype(jnp.int8)
-            w2 = gather_rows(tab2, dxm, bwp).astype(jnp.int32).astype(jnp.int8)
+            if "packgather" in variants:
+                pi = gather_rows(tabp, dxm, bwp).astype(jnp.int32)
+                w1 = ((pi >> 8) - 128).astype(jnp.int8)
+                w2 = ((pi & 255) - 128).astype(jnp.int8)
+            else:
+                w1 = gather_rows(tab1, dxm, bwp).astype(jnp.int32).astype(jnp.int8)
+                w2 = gather_rows(tab2, dxm, bwp).astype(jnp.int32).astype(jnp.int8)
             dym = lax.broadcasted_iota(jnp.int32, (bh_al, GL), 0) - rely_f
             w_y = gather_rows(taby, dym, bh_al)              # [BH, GL] f32
 
@@ -252,13 +283,28 @@ def _make_kernel(n_k, n_tiles, bh_al, bwp, width, height, xc, yc, nch, G, L):
 
         # Shared across channels: rw[g, l] = sum_h w_y — carries the corr
         # term (and exact zeros for the black zone) past the y-reduce.
-        def col_sums(m):
-            # [BH, GL] -> [G, L] per-column-group sums.
-            rows = [
-                jnp.sum(m[:, gg * L:(gg + 1) * L], axis=0, keepdims=True)
-                for gg in range(G)
-            ]
-            return jnp.concatenate(rows, axis=0)
+        if "ydot" in variants:
+            ones_bh = jnp.ones((1, bh_al), jnp.float32)
+
+            def col_sums(m):
+                # [BH, GL] -> [G, L]: one ones-vector MXU dot reduces all
+                # GL columns at once; the [1, GL] row is then unflattened
+                # by sublane-concat of its 128-lane slices (each slice
+                # starts at a lane multiple of 128, so offsets match).
+                s = lax.dot_general(
+                    ones_bh, m, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                            # [1, GL]
+                return jnp.concatenate(
+                    [s[:, gg * L:(gg + 1) * L] for gg in range(G)], axis=0)
+        else:
+            def col_sums(m):
+                # [BH, GL] -> [G, L] per-column-group sums.
+                rows = [
+                    jnp.sum(m[:, gg * L:(gg + 1) * L], axis=0, keepdims=True)
+                    for gg in range(G)
+                ]
+                return jnp.concatenate(rows, axis=0)
 
         rw = col_sums(w_y)                                   # [G, L] f32
 
@@ -303,9 +349,10 @@ def _make_kernel(n_k, n_tiles, bh_al, bwp, width, height, xc, yc, nch, G, L):
 
 @functools.lru_cache(maxsize=16)
 def _build_call(n_g, n_k, bh_al, bwp, bwc, width, height, xc, yc, nch,
-                interpret, G, L):
+                interpret, G, L, variants: frozenset = frozenset()):
     kernel = _make_kernel(
-        n_k, n_g * n_k, bh_al, bwp, width, height, xc, yc, nch, G, L)
+        n_k, n_g * n_k, bh_al, bwp, width, height, xc, yc, nch, G, L,
+        variants)
     ax_spec = pl.BlockSpec((1, 1, L), lambda g, k, *_: (k, 0, 0),
                            memory_space=pltpu.VMEM)
     b_spec = pl.BlockSpec((1, G, 1), lambda g, k, *_: (g, 0, 0),
@@ -381,7 +428,7 @@ def rotate_blocked_pallas(img, angle: float, interpret: bool | None = None):
     call = _build_call(
         n_g, n_k, bh_al, bwp, bwc, width, height, xc, yc, nch,
         _interpret() if interpret is None else interpret,
-        G, L,
+        G, L, _VARIANTS,
     )
     out = call(
         jnp.asarray(sy_al), jnp.asarray(sx_al), jnp.asarray(d),

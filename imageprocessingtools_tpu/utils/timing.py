@@ -28,12 +28,21 @@ def _fetch_tiny(x) -> None:
     np.asarray(jnp.ravel(x)[:1])
 
 
-def device_loop_rate(body, img, iters: int = 20, repeats: int = 3) -> float:
+def device_loop_rate(
+    body, img, iters: int = 20, repeats: int = 3, stat: str = "min"
+) -> float:
     """Seconds per iteration of ``body`` (uint8 array -> uint8 array).
 
     The output is recycled into the next input (any shape) via ravel/tile —
     the measured time includes that feedback materialization, so rates are
     slight underestimates of the pure op.
+
+    The 0-iter baseline and the timed loop are run as ADJACENT pairs so
+    both sides share a contention window on this time-shared slice; a pair
+    whose delta is nonpositive (baseline landed in a congested window, the
+    loop in a calm one — observed in round 3 as ~0.0 ms underflow rows) is
+    discarded. ``stat`` picks min (same-run A/B convention) or median
+    (robust absolute reporting) over the surviving pair deltas.
     """
     shape = tuple(img.shape)
     need = 1
@@ -114,9 +123,25 @@ def device_loop_rate(body, img, iters: int = 20, repeats: int = 3) -> float:
         _fetch_tiny(loop(img, n))
         return time.perf_counter() - t0
 
-    base = min(run(0) for _ in range(repeats))
-    total = min(run(iters) for _ in range(repeats))
-    return max((total - base) / iters, 1e-9)
+    deltas = []
+    for _ in range(repeats):
+        b = run(0)
+        t = run(iters)
+        if t > b:
+            deltas.append((t - b) / iters)
+    if not deltas:
+        # Every pair underflowed: the loop cost is below this window's
+        # noise floor; report the floor rather than a fantasy rate.
+        return 1e-9
+    if stat == "median":
+        deltas.sort()
+        mid = len(deltas) // 2
+        return (
+            deltas[mid]
+            if len(deltas) % 2
+            else (deltas[mid - 1] + deltas[mid]) / 2
+        )
+    return min(deltas)
 
 
 def dispatch_time(fn, *args, repeats: int = 5) -> float:

@@ -414,3 +414,69 @@ def test_resize_height_wrap_mod32_parity(ref_runner, tmp_path, capsys):
     our_code = cli.main(["-w1048576", q])
     assert (our_code, capsys.readouterr().out) == (255, "error: allocating ind2store\n")
     assert not os.path.exists(q + ".out")
+
+
+# --- C atoi wrap semantics for -w / -r digit strings (round-4 finding) ---
+#
+# The reference parses flag values with glibc atoi (ppmx-edward.c:151,164):
+# strtol saturates to LONG_MAX on overflow, the long->int conversion
+# truncates mod 2^32 — so huge all-digit values WRAP into valid small ones
+# and must be processed, not rejected (cli._c_atoi replicates this).
+
+ATOI_ACCEPT_CASES = [
+    (["-r4294967296"], ["-r0"]),          # 2^32 -> 0 (alone: r0 copy, no B8)
+    (["-r4294967333"], ["-r37"]),         # 2^32+37 -> 37
+    (["-r8589934592"], ["-r0"]),          # 2*2^32 -> 0
+    (["-r00000000000000000359"], ["-r359"]),  # leading zeros, atoi fine
+    (["-w8589934604"], ["-w12"]),         # 2*2^32+12 -> 12
+    (["-w4294967326", "-gray"], ["-w30", "-gray"]),
+]
+
+
+@pytest.mark.parametrize(
+    "wrapped,plain", ATOI_ACCEPT_CASES, ids=lambda a: "_".join(a)
+)
+def test_atoi_wrap_accepted_matches_plain(
+    ref_runner, tmp_path, capsys, wrapped, plain
+):
+    img = make_image(24, 31)
+    data = ppm.encode_ppm(img)
+    ref_code, ref_stdout, ref_out = ref_runner.run(data, wrapped)
+    our_code, our_stdout, our_out = run_ours(tmp_path, data, wrapped, capsys)
+    assert our_code == ref_code == 0
+    assert our_stdout == ref_stdout == ""
+    assert our_out == ref_out
+    # And the wrapped spelling is byte-identical to its small equivalent.
+    _, _, plain_out = run_ours(tmp_path, data, plain, capsys)
+    assert our_out == plain_out
+
+
+ATOI_REJECT_CASES = [
+    ["-r4294967295"],        # -> -1: "Error: invalid option for rotate."
+    ["-r99999999999999999999"],  # strtol saturates LONG_MAX -> (int) -1
+    ["-r2147483648"],        # -> INT_MIN
+    ["-r" + "9" * 30],
+    ["-w4294967296"],        # -> 0: "invalid option for new width"
+    ["-w2147483649"],        # -> negative: same message
+    ["-w" + "9" * 30],       # saturate -> -1 -> same message
+]
+
+
+@pytest.mark.parametrize("args", ATOI_REJECT_CASES, ids=lambda a: "_".join(a))
+def test_atoi_wrap_rejected_matches_reference(ref_runner, tmp_path, capsys, args):
+    img = make_image(8, 8)
+    data = ppm.encode_ppm(img)
+    ref_code, ref_stdout, ref_out = ref_runner.run(data, args)
+    our_code, our_stdout, our_out = run_ours(tmp_path, data, args, capsys)
+    assert our_code == ref_code == 255
+    assert our_stdout == ref_stdout
+    assert ref_out is None and our_out is None
+
+
+def test_c_atoi_huge_digit_string_no_int_limit(tmp_path, capsys):
+    # Python's int() refuses >4300-digit strings; atoi must not crash.
+    img = make_image(4, 4)
+    data = ppm.encode_ppm(img)
+    code, stdout, out = run_ours(tmp_path, data, ["-w" + "7" * 5000], capsys)
+    assert code == 255
+    assert stdout == "invalid option for new width\n"

@@ -355,3 +355,31 @@ def test_tuned_gl_plumbing(monkeypatch, tmp_path):
     monkeypatch.setattr(geometry, "_TUNING_PATH", str(p))
     assert geometry._load_rotation_tuning()["buckets"]["3"]["G"] == 8
     geometry._load_rotation_tuning.cache_clear()
+
+
+@pytest.mark.parametrize("variants", [
+    frozenset({"ydot"}),
+    frozenset({"packgather"}),
+    frozenset({"ydot", "packgather"}),
+], ids=lambda v: "+".join(sorted(v)))
+def test_pallas_variant_parity(variants, monkeypatch):
+    """Round-4 formulation variants (MXU ones-dot y-reduce; packed
+    selector tables) must keep the kernel's exact budget: zones and
+    edge/outside pixels exact, interior +-1 vs the f64 golden."""
+    from imageprocessingtools_tpu.kernels import pallas_rotate
+
+    monkeypatch.setattr(pallas_rotate, "_TILE_G", 16)
+    monkeypatch.setattr(pallas_rotate, "_VARIANTS", variants)
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 256, size=(160, 200, 3), dtype=np.uint8)
+    for angle in (30.0, 245.0):
+        out = pallas_rotate.rotate_blocked_pallas(img, angle)
+        assert out is not None
+        out = np.asarray(out)
+        exp = golden.rotate(img, angle)
+        rp = _exact.plan_rotation(160, 200, angle)
+        outside = ~(rp.interior | rp.edge)
+        diff = np.abs(out.astype(np.int64) - exp.astype(np.int64))
+        np.testing.assert_array_equal(diff[outside], 0)
+        np.testing.assert_array_equal(diff[rp.edge], 0)
+        assert diff.max() <= 1

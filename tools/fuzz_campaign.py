@@ -7,9 +7,14 @@ with FRESH seeds and a much larger case count, run as a one-off evidence
 campaign (FUZZ_CAMPAIGN_r03.json). CPU backend for the in-process CLI.
 
     python tools/fuzz_campaign.py [n_small] [n_mid] [n_thin] [seed_base]
+                                  [n_malformed]
 
 The thin class (h or w in 1..3) plus near-width/upscale -w targets aim at
-the corner regions where quirk B7 was found.
+the corner regions where quirk B7 was found. The malformed class mutates
+the ARG STRINGS themselves (trailing junk, atoi wrap/saturate magnitudes,
+duplicate orders, unknown flags) against the reference's char-by-char argv
+scan — the class that found the atoi mod-2^32 wrap divergence fixed in
+round 4 (cli._c_atoi).
 """
 
 from __future__ import annotations
@@ -71,6 +76,96 @@ def _random_args(rng, width):
     return args
 
 
+_FLAG_ATOMS = ["-fv", "-fh", "-gray", "-mono", "-w12", "-r30"]
+# Junk tails the reference ACCEPTS on flips (only argv[x][2] is checked,
+# ppmx-edward.c:127-141) but rejects on -w/-r (full digit scan) — the
+# asymmetry the mutator must cover from both sides.
+_TAILS = ["x", "q9", "hh", "-", ".", "0", "vv"]
+
+
+def _malformed_args(rng):
+    """Hostile flag strings aimed at the reference's char-by-char argv scan
+    (``ppmx-edward.c:125-183``): trailing junk, non-digit value chars,
+    leading zeros, atoi-wrap magnitudes, duplicate/conflict orders,
+    ``--``-prefixed junk, bare ``-``, unknown flags (echoed via %s).
+
+    Constraints honored: no B1 (flip+gray/mono without resize/rotate where
+    the combo would be ACCEPTED), no B8 (effective -r0 with later stages),
+    and any -w that PARSES stays tiny or invalid so the oracle never
+    grinds (B9). Most cases error out at the scan, which is the point —
+    the scan ORDER is the parity surface under test.
+    """
+    pick = rng.integers(0, 10)
+    if pick == 0:  # flip with trailing junk (accepted!) + benign partner
+        a = ["-f" + rng.choice(["h", "v"]) + str(rng.choice(_TAILS)),
+             "-r" + str(int(rng.integers(1, 360)))]
+    elif pick == 1:  # -w with junk before/after digits -> scaling error
+        d = str(int(rng.integers(0, 40)))
+        j = str(rng.choice(_TAILS))
+        a = ["-w" + (d + j if rng.random() < 0.5 else j + d)]
+    elif pick == 2:  # -r with junk -> rotate error (period message)
+        a = ["-r" + str(int(rng.integers(0, 360))) + str(rng.choice(_TAILS))]
+    elif pick == 3:  # leading zeros (accepted; atoi strips them)
+        z = "0" * int(rng.integers(1, 22))
+        if rng.random() < 0.5:
+            a = ["-r" + z + str(int(rng.integers(1, 360)))]
+        else:
+            a = ["-w" + z + str(int(rng.integers(1, 32)))]
+    elif pick == 4:  # atoi wrap/saturate magnitudes
+        k = int(rng.integers(1, 4)) * 2**32
+        r = rng.random()
+        if r < 0.35:   # wraps to a small valid value
+            a = ["-r" + str(k + int(rng.integers(1, 360)))] \
+                if rng.random() < 0.5 else ["-w" + str(k + int(rng.integers(1, 32)))]
+        elif r < 0.7:  # wraps negative / to zero -> value errors
+            a = [rng.choice(["-r", "-w"]) + str(k - int(rng.integers(1, 2**31)))]
+        else:          # strtol saturation (> 19 digits)
+            a = [rng.choice(["-r", "-w"]) + "9" * int(rng.integers(20, 30))]
+    elif pick == 5:  # duplicate/conflict orders across all flag kinds
+        x = rng.choice(_FLAG_ATOMS)
+        y = rng.choice(_FLAG_ATOMS)
+        a = [str(x), str(y)]
+    elif pick == 6:  # unknown flags: --prefixed, bare -, %s echo paths
+        a = [str(rng.choice(["--gray", "--", "-", "-grayx", "-monoo",
+                             "-g", "-zap", "-GRAY", "-Mono", "-w12 ",
+                             "- gray"]))]
+    elif pick == 7:  # empty values and minimal forms
+        a = [str(rng.choice(["-w", "-r", "-f", "-fx"]))]
+    elif pick == 8:  # two filenames / flag after filename (scan continues)
+        a = ["-gray", "EXTRA_FILE", "-mono"] if rng.random() < 0.5 \
+            else ["EXTRA_FILE", "-bogus"]
+    else:  # shuffled valid flags with one mutated char
+        base = ["-fh", "-w17", "-r45", "-gray"]
+        i = int(rng.integers(0, len(base)))
+        s = base[i]
+        p = int(rng.integers(1, len(s)))
+        base[i] = s[:p] + str(rng.choice(list("xq0-Z"))) + s[p:]
+        rng.shuffle(base)
+        a = base
+    def _atoi32(digits):  # mirror of cli._c_atoi
+        digits = digits.lstrip("0")
+        n = 2**63 - 1 if len(digits) > 19 else int(digits or "0")
+        n = min(n, 2**63 - 1) & 0xFFFFFFFF
+        return n - 2**32 if n >= 2**31 else n
+
+    # B8 guard: an arg list whose parse would yield angle 0 alongside any
+    # other stage must not reach the oracle (use-after-free garbage).
+    for t in a:
+        if t.startswith("-r") and t[2:].isdigit() and _atoi32(t[2:]) == 0:
+            if len(a) > 1:
+                a = [t]
+            break
+    # B1 guard: a combo the reference would ACCEPT with a flip and
+    # gray/mono but no resize/rotate emits garbage there; anchor it with
+    # a rotation (appended last, so scan-order errors still fire first).
+    has_flip = any(len(t) > 2 and t[1] == "f" and t[2] in "hv" for t in a)
+    has_color = any(t in ("-gray", "-mono") for t in a)
+    has_geom = any(t[:2] in ("-w", "-r") for t in a)
+    if has_flip and has_color and not has_geom:
+        a = a + ["-r" + str(int(rng.integers(1, 360)))]
+    return a
+
+
 def _has_float_op(args):
     return any(
         a.startswith("-w")
@@ -79,7 +174,8 @@ def _has_float_op(args):
     )
 
 
-def run_case(seed: int, lo: int, hi: int, workdir: str, thin: bool = False):
+def run_case(seed: int, lo: int, hi: int, workdir: str, thin: bool = False,
+             malformed: bool = False):
     rng = np.random.default_rng(seed)
     if thin:
         # Extreme aspect ratios: 1-3 rows (or columns) stress the degenerate
@@ -94,7 +190,7 @@ def run_case(seed: int, lo: int, hi: int, workdir: str, thin: bool = False):
         w = int(rng.integers(lo, hi))
     img = np.random.default_rng(seed ^ 0xABCD).integers(
         0, 256, (h, w, 3), dtype=np.uint8)
-    args = _random_args(rng, w)
+    args = _malformed_args(rng) if malformed else _random_args(rng, w)
     data = ppm.encode_ppm(img)
 
     ref_in = os.path.join(workdir, "ref.ppm")
@@ -153,6 +249,7 @@ def main():
     n_mid = int(sys.argv[2]) if len(sys.argv) > 2 else 40
     n_thin = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     seed_base = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    n_malformed = int(sys.argv[5]) if len(sys.argv) > 5 else 0
     if not os.path.exists(ORACLE):
         subprocess.run(["gcc", "-O2", "-o", ORACLE,
                         "/root/reference/ppmx-edward.c", "-lm"], check=True)
@@ -175,24 +272,36 @@ def main():
             tally[verdict] = tally.get(verdict, 0) + 1
             if "fail" in case:
                 failures.append(case)
+        for i in range(n_malformed):
+            case, verdict = run_case(seed_base + 80_000 + i, 4, 24, workdir,
+                                     malformed=True)
+            tally[verdict] = tally.get(verdict, 0) + 1
+            if "fail" in case:
+                failures.append(case)
     doc = {
         "date": time.strftime("%Y-%m-%d"),
-        "command": f"python tools/fuzz_campaign.py {n_small} {n_mid} {n_thin} {seed_base}",
-        "n_cases": n_small + n_mid + n_thin,
+        "command": (f"python tools/fuzz_campaign.py {n_small} {n_mid} "
+                    f"{n_thin} {seed_base} {n_malformed}"),
+        "n_cases": n_small + n_mid + n_thin + n_malformed,
         "thin_class": "h or w in 1..3, other dim 4..200 (extreme aspect)",
+        "malformed_class": ("hostile flag strings vs the argv scan: trailing "
+                            "junk, non-digit values, leading zeros, atoi "
+                            "wrap/saturate magnitudes, duplicate/conflict "
+                            "orders, unknown/--/bare- flags, two filenames"),
         "small_range_px": [4, 40],
         "mid_range_px": [120, 320],
         "seed_ranges": {
             "small": [seed_base + 50_000, seed_base + 50_000 + n_small],
             "mid": [seed_base + 60_000, seed_base + 60_000 + n_mid],
             "thin": [seed_base + 70_000, seed_base + 70_000 + n_thin],
+            "malformed": [seed_base + 80_000, seed_base + 80_000 + n_malformed],
         },
         # Only claim freshness when it holds: class ranges must not overlap
         # each other (n_* <= 10000) and must sit above the CI suite's fixed
         # seeds (1000+, all below 10000).
         "seeds_disjoint_from_ci": bool(
             seed_base >= 0
-            and max(n_small, n_mid, n_thin) <= 10_000
+            and max(n_small, n_mid, n_thin, n_malformed) <= 10_000
             and seed_base + 50_000 > 10_000
         ),
         "tally": tally,

@@ -173,7 +173,8 @@ def main() -> None:
 
     img4 = np.random.default_rng(1).integers(
         0, 256, size=(h, w, 3), dtype=np.uint8)
-    sec = device_loop_rate(fused_pipeline_xla, img4, iters=10)
+    sec = device_loop_rate(fused_pipeline_xla, img4, iters=20, repeats=5,
+                           stat="median")
     report["device_pipeline_mpix_s"] = round(h * w / sec / 1e6, 1)
     report["production_bound_mpix_s"] = min(
         report["host_decode_mpix_s"],
