@@ -291,12 +291,16 @@ def _expand_rows16(slab):
     )
 
 
-def _hist_slab_counts(ref, tr: int, w: int, valid_rows=None):
+def _hist_slab_counts(ref, tr: int, w: int, valid_rows=None,
+                      w_real: int | None = None):
     """Block-diagonal nibble counts of ``ref[:tr, :w]`` -> f32[128, 128].
 
     ``valid_rows(global_row_iota) -> bool`` masks padding rows (their
-    expanded values become -1, which matches no nibble). The true histogram
-    is the sum of the 8 diagonal 16x16 blocks (`_fold_diag_blocks`).
+    expanded values become -1, which matches no nibble); ``w_real`` masks
+    padding LANES the same way, generalizing the kernel to W % 128 != 0
+    inputs whose column padding is data-dependent (round 4). The true
+    histogram is the sum of the 8 diagonal 16x16 blocks
+    (`_fold_diag_blocks`).
     """
     iota_m16 = lax.broadcasted_iota(jnp.int32, (128, w), 0) & 15
 
@@ -307,6 +311,9 @@ def _hist_slab_counts(ref, tr: int, w: int, valid_rows=None):
         if valid_rows is not None:
             rows = base + (lax.broadcasted_iota(jnp.int32, (128, w), 0) >> 4)
             ex = jnp.where(valid_rows(rows), ex, -1)
+        if w_real is not None and w_real < w:
+            cols = lax.broadcasted_iota(jnp.int32, (128, w), 1)
+            ex = jnp.where(cols < w_real, ex, -1)
         hi = ((ex >> 4) == iota_m16).astype(jnp.bfloat16)
         lo = ((ex & 15) == iota_m16).astype(jnp.bfloat16)
         return acc + lax.dot_general(
@@ -317,7 +324,8 @@ def _hist_slab_counts(ref, tr: int, w: int, valid_rows=None):
     return lax.fori_loop(0, tr // 8, body, jnp.zeros((128, 128), jnp.float32))
 
 
-def _hist_slab_counts_reg(tile_i32, tr: int, w: int, valid_rows=None):
+def _hist_slab_counts_reg(tile_i32, tr: int, w: int, valid_rows=None,
+                          w_real: int | None = None):
     """`_hist_slab_counts` over an in-register int32[tr, w] tile.
 
     Statically unrolled (tr//8 chained dots; cheap — the expensive unroll
@@ -334,6 +342,9 @@ def _hist_slab_counts_reg(tile_i32, tr: int, w: int, valid_rows=None):
         if valid_rows is not None:
             rows = s * 8 + (lax.broadcasted_iota(jnp.int32, (128, w), 0) >> 4)
             ex = jnp.where(valid_rows(rows), ex, -1)
+        if w_real is not None and w_real < w:
+            cols = lax.broadcasted_iota(jnp.int32, (128, w), 1)
+            ex = jnp.where(cols < w_real, ex, -1)
         hi = ((ex >> 4) == iota_m16).astype(jnp.bfloat16)
         lo = ((ex & 15) == iota_m16).astype(jnp.bfloat16)
         acc = acc + lax.dot_general(
@@ -562,7 +573,8 @@ def gray_gauss_pallas(img: jnp.ndarray, block_rows: int | None = None):
     return blurred[:h0]
 
 
-def _gray_gauss_hist_kernel(h_real, hist_from_reg, r_prev, g_prev, b_prev,
+def _gray_gauss_hist_kernel(h_real, w_real, hist_from_reg,
+                            r_prev, g_prev, b_prev,
                             r_cur, g_cur, b_cur, r_next, g_next, b_next,
                             out_ref, hist_ref):
     step = pl.program_id(0)
@@ -606,9 +618,11 @@ def _gray_gauss_hist_kernel(h_real, hist_from_reg, r_prev, g_prev, b_prev,
     # block back from VMEM.
     mask = lambda rows: (step * tr + rows) < h_real
     if hist_from_reg:
-        counts = _hist_slab_counts_reg(blurred, tr, w, valid_rows=mask)
+        counts = _hist_slab_counts_reg(blurred, tr, w, valid_rows=mask,
+                                       w_real=w_real)
     else:
-        counts = _hist_slab_counts(out_ref, tr, w, valid_rows=mask)
+        counts = _hist_slab_counts(out_ref, tr, w, valid_rows=mask,
+                                   w_real=w_real)
 
     @pl.when(step == 0)
     def _():
@@ -622,18 +636,27 @@ def _gray_gauss_hist_kernel(h_real, hist_from_reg, r_prev, g_prev, b_prev,
 @functools.partial(jax.jit, static_argnames=("block_rows", "hist_from_reg"))
 def _gray_gauss_hist_call(img: jnp.ndarray, block_rows: int,
                           hist_from_reg: bool = False):
-    h0, w = img.shape[0], img.shape[1]
+    h0, w0 = img.shape[0], img.shape[1]
     br = block_rows
+    # Column EDGE pad up to a lane multiple (round 4): replicated edge
+    # columns reproduce `_col_edge_pad`'s semantics for the real pixels
+    # within the blur radius, so the blur stays bit-exact at the right
+    # edge; the padding lanes' (data-dependent) blurred values are masked
+    # out of the histogram in-kernel via ``w_real``.
+    wpad = (-w0) % 128
     planes = []
     for c in range(3):
-        p, _ = _pad_rows_edge(img[:, :, c], br)
+        p = img[:, :, c]
+        if wpad:
+            p = jnp.pad(p, ((0, 0), (0, wpad)), mode="edge")
+        p, _ = _pad_rows_edge(p, br)
         planes.append(p)
-    ph = planes[0].shape[0]
+    ph, w = planes[0].shape
     n = ph // br
     halo = _halo_specs(br, w, n)
     in_specs = [halo[0]] * 3 + [halo[1]] * 3 + [halo[2]] * 3
     blurred, big = pl.pallas_call(
-        functools.partial(_gray_gauss_hist_kernel, h0, hist_from_reg),
+        functools.partial(_gray_gauss_hist_kernel, h0, w0, hist_from_reg),
         grid=(n,),
         in_specs=in_specs,
         out_specs=[
@@ -646,7 +669,7 @@ def _gray_gauss_hist_call(img: jnp.ndarray, block_rows: int,
         ],
         interpret=_interpret(),
     )(*(planes * 3))
-    return blurred[:h0], _fold_diag_blocks(big)
+    return blurred[:h0, :w0], _fold_diag_blocks(big)
 
 
 def gray_gauss_hist_pallas(img: jnp.ndarray, block_rows: int | None = None,
@@ -657,8 +680,10 @@ def gray_gauss_hist_pallas(img: jnp.ndarray, block_rows: int | None = None,
     with the lane-major nibble dots; neither the gray image nor the blurred
     intermediate round-trips HBM for the histogram).
 
-    Requires W % 128 == 0 (the in-kernel dots contract over lanes; Mosaic
-    lane-pads non-multiple blocks with undefined data) and H*W < 2^24
+    Any width since round 4: W % 128 != 0 shapes are column-EDGE-padded to
+    a lane multiple (blur-exact at the right edge) and the padding lanes
+    masked out of the in-kernel histogram (`w_real` -> expanded value -1,
+    the same mechanism as the row mask). Requires H >= 8 and H*W < 2^24
     (exact f32 bin counts); other shapes take the two-step path
     (`gray_gauss_pallas` + the XLA nibble-MXU histogram, same results).
 
@@ -673,7 +698,7 @@ def gray_gauss_hist_pallas(img: jnp.ndarray, block_rows: int | None = None,
     # br=32 beat br=16 in 14/14 interleaved rounds at 4K (median 0.90x).
     br = _resolve_block_rows(h0, block_rows, radius=2, default=32)
     br = max(8, br - br % 8)  # slab processing needs 8-row multiples
-    if w % 128 or h0 < 8 or h0 * w >= 2**24:
+    if h0 < 8 or h0 * w >= 2**24:
         # >= 2^24 px joins the two-step fallback (instead of raising, so the
         # mega variant stays a drop-in): the in-kernel f32 bins would lose
         # integer exactness, but the XLA histogram chunks for it.

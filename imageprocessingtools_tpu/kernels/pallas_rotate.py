@@ -73,20 +73,23 @@ _TILE_L = 128
 # Members: "geom", "flat", "build", "dot2", "dots", "ystage".
 _ABLATE: frozenset = frozenset()
 
-# Round-4 formulation variants (tools/rotate_ystage_ab.py A/Bs these on
-# hardware; the winner set becomes the production default):
-# - "ydot": the y-combine's column-group sums run as ONE ones-vector MXU
-#   dot ([1, BH] x [BH, G*L]) + lane-slice unflat, instead of G sliced
-#   sublane-reduction chains. (A literal "second quantized dot" for the
-#   y-stage is impossible: out[p] = sum_r wy[r,p] * h[r,p] is a PER-COLUMN
-#   weighted reduction = diag(wy^T h); an MXU dot would compute the full
-#   [GL, GL] product for its diagonal, a 2048x waste. The reducible part
-#   is the reduction itself, which this variant moves to the MXU.)
-# - "packgather": the two x-tap selector tables are packed into ONE
+# Round-4 formulation variants (tools/rotate_ystage_ab.py A/B'd these on
+# hardware — ROTATE_YSTAGE_AB_r04.json, 7 interleaved rounds at 4K/30):
+# - "ydot": the y-combine's column-group sums as ONE ones-vector MXU dot
+#   ([1, BH] x [BH, G*L]) + lane-slice unflat, instead of G sliced
+#   sublane-reduction chains. MEASURED REJECTED: median 32.40 ms vs 31.45
+#   base — the M=1 dot pays a full MXU pass per col_sums. (A literal
+#   "second quantized dot" for the y-stage is impossible: out[p] =
+#   sum_r wy[r,p] * h[r,p] is a PER-COLUMN weighted reduction =
+#   diag(wy^T h); an MXU dot would compute the full [GL, GL] product for
+#   its diagonal, a 2048x waste. The reducible part is the reduction
+#   itself, which this variant moved to the MXU — and lost.)
+# - "packgather": the two x-tap selector tables packed into ONE
 #   16-bit-in-f32 table ((q1+128)*256 + (q2+128), exact in f32), halving
 #   the dynamic_gather slab count of the selector-build stage; w1/w2 are
-#   recovered with a shift/mask after one gather.
-_VARIANTS: frozenset = frozenset()
+#   recovered with a shift/mask after one gather. WON (median 31.08 ms,
+#   rank-first 5/7, mean rank 0.86 vs base 1.0) -> production default.
+_VARIANTS: frozenset = frozenset({"packgather"})
 
 
 def _interpret() -> bool:

@@ -480,3 +480,19 @@ def test_c_atoi_huge_digit_string_no_int_limit(tmp_path, capsys):
     code, stdout, out = run_ours(tmp_path, data, ["-w" + "7" * 5000], capsys)
     assert code == 255
     assert stdout == "invalid option for new width\n"
+
+
+@pytest.mark.parametrize("seed", [980000 + i for i in range(8)])
+def test_malformed_flag_fuzz_ci_slice(ref_runner, tmp_path, seed):
+    """Fixed-seed CI slice of the malformed-flag campaign class
+    (tools/fuzz_campaign.py `_malformed_args`; full 250-case fresh-seed
+    run in FUZZ_MALFORMED_r04.json). Pins the argv scan-order parity:
+    trailing junk, atoi wrap magnitudes, duplicate/conflict orders,
+    unknown flags."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from fuzz_campaign import run_case
+
+    case, verdict = run_case(seed, 4, 24, str(tmp_path), malformed=True)
+    assert "fail" not in case, (case, verdict)

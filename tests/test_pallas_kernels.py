@@ -181,3 +181,50 @@ def test_mega_kernel_row_masking_exact():
     expected = gaussian_blur(grayscale(img))
     np.testing.assert_array_equal(np.asarray(blurred), np.asarray(expected))
     np.testing.assert_array_equal(np.asarray(hist), np.asarray(histogram(expected)))
+
+
+@pytest.mark.parametrize("shape", [
+    (48, 120, 3),     # W < 128 (pad to one lane group)
+    (64, 200, 3),     # W % 128 != 0, > 128
+    (96, 683, 3),     # odd width, multiple lane groups (1366/2 class)
+    (40, 500, 3),     # 4000x3000 class scaled down
+])
+def test_mega_kernel_nonmultiple_width(shape):
+    """Round-4 gate lift: W % 128 != 0 now runs the ONE-PASS mega kernel
+    (edge-padded lanes, in-kernel column mask) bit-identically to the XLA
+    flagship — both blur (right-edge taps) and histogram (no padding
+    pixels counted)."""
+    from imageprocessingtools_tpu.kernels.fused import (
+        fused_pipeline_pallas_mega, fused_pipeline_xla)
+    from imageprocessingtools_tpu.kernels.pallas_core import gray_gauss_hist_pallas
+    from imageprocessingtools_tpu.ops.color import grayscale
+    from imageprocessingtools_tpu.ops.histogram import histogram
+    from imageprocessingtools_tpu.ops.stencil import gaussian_blur
+
+    rng = np.random.default_rng(shape[1])
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    blurred, hist = gray_gauss_hist_pallas(img)
+    expected = gaussian_blur(grayscale(img))
+    np.testing.assert_array_equal(np.asarray(blurred), np.asarray(expected))
+    np.testing.assert_array_equal(
+        np.asarray(hist), np.asarray(histogram(expected)))
+    assert int(np.asarray(hist).sum()) == shape[0] * shape[1]
+    np.testing.assert_array_equal(
+        np.asarray(fused_pipeline_pallas_mega(img)),
+        np.asarray(fused_pipeline_xla(img)),
+    )
+
+
+def test_mega_kernel_nonmultiple_width_reghist():
+    from imageprocessingtools_tpu.kernels.pallas_core import gray_gauss_hist_pallas
+    from imageprocessingtools_tpu.ops.color import grayscale
+    from imageprocessingtools_tpu.ops.histogram import histogram
+    from imageprocessingtools_tpu.ops.stencil import gaussian_blur
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(56, 300, 3), dtype=np.uint8)
+    blurred, hist = gray_gauss_hist_pallas(img, hist_from_reg=True)
+    expected = gaussian_blur(grayscale(img))
+    np.testing.assert_array_equal(np.asarray(blurred), np.asarray(expected))
+    np.testing.assert_array_equal(
+        np.asarray(hist), np.asarray(histogram(expected)))

@@ -179,3 +179,51 @@ def test_spatial_rotate_permutation_and_small_fallback():
     tiny = make_image(16, 24, seed=10)
     out2 = np.asarray(rotate_spatial(tiny, 30.0, mesh))
     np.testing.assert_array_equal(out2, np.asarray(ipt.rotate(tiny, 30.0)))
+
+
+def test_mega_under_shard_map_multidevice_bit_identical():
+    """Round-4 gate lift: the Pallas mega kernel runs on MULTI-DEVICE
+    meshes via shard_map over the batch axis (GSPMD cannot split the
+    opaque Pallas custom call; manual partitioning gives each device its
+    local shard). Bit-identical to the per-image XLA flagship on the
+    8-virtual-device mesh."""
+    from imageprocessingtools_tpu.kernels.fused import (
+        fused_pipeline_pallas_mega,
+    )
+    from imageprocessingtools_tpu.parallel.batch import _shard_mapped_vmap
+
+    imgs = np.stack(
+        [make_image(24, 200, seed=s) for s in range(16)])  # W % 128 != 0
+    mesh = default_mesh()
+    out = np.asarray(
+        _shard_mapped_vmap(fused_pipeline_pallas_mega, mesh, "data")(imgs))
+    for i in range(16):
+        np.testing.assert_array_equal(
+            out[i], np.asarray(fused_pipeline_xla(imgs[i])))
+
+
+def test_batched_fused_pipeline_mega_gate_multidevice(monkeypatch):
+    """With a pretend-TPU backend and a qualifying shape, a multi-device
+    mesh must route through the shard_map path and stay bit-identical."""
+    from imageprocessingtools_tpu.parallel import batch as pbatch
+
+    monkeypatch.setattr(pbatch.jax, "default_backend", lambda: "tpu")
+    # 2 MPix gate would need huge test images; patch the threshold down
+    # instead of the shape up (interpret-mode pallas at 2 MPix x 8 is
+    # minutes of CPU).
+    imgs = np.stack([make_image(16, 144, seed=s) for s in range(8)])
+    calls = []
+    real = pbatch._shard_mapped_vmap
+
+    def spy(fn, mesh, axis):
+        calls.append(fn.__name__)
+        return real(fn, mesh, axis)
+
+    monkeypatch.setattr(pbatch, "_shard_mapped_vmap", spy)
+    out = pbatch.batched_fused_pipeline(imgs, mesh=default_mesh())
+    # 16x144 is far below 2 MPix -> XLA form, no shard_map call.
+    assert calls == []
+    out_np = np.asarray(out)
+    for i in range(8):
+        np.testing.assert_array_equal(
+            out_np[i], np.asarray(fused_pipeline_xla(imgs[i])))

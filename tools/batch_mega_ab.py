@@ -10,8 +10,11 @@ in tools/mega_rank.py.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -27,10 +30,17 @@ from imageprocessingtools_tpu.utils.timing import device_loop_rate
 def main() -> None:
     rng = np.random.default_rng(9)
     doc = {"cases": {}}
-    for tag, (b, h, w) in {
+    cases = {
         "b8_512": (8, 512, 512),
         "b4_1080p": (4, 1080, 1920),
-    }.items():
+    }
+    if len(sys.argv) > 1:  # override: tag=BxHxW ...
+        cases = {}
+        for a in sys.argv[1:]:
+            tag, dims = a.split("=")
+            b, h, w = (int(t) for t in dims.split("x"))
+            cases[tag] = (b, h, w)
+    for tag, (b, h, w) in cases.items():
         batch = jax.device_put(
             rng.integers(0, 256, size=(b, h, w, 3), dtype=np.uint8))
         ref = np.asarray(jax.jit(jax.vmap(fused_pipeline_xla))(batch))

@@ -36,6 +36,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _CHILD = r"""
 import json, os, sys, time
 os.environ["IPT_AUDIT_CACHE"] = "0"
+os.environ["IPT_KERNEL_MANIFEST"] = "0"  # measure the XLA surface, not Pallas
 import numpy as np
 h, w, angle, vmap_batch = json.loads(sys.argv[1])
 import jax
