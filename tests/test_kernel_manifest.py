@@ -69,12 +69,13 @@ def test_hit_requires_cache_dir_exists(cache_dir, compile_cache_on):
 def test_dispatch_policy(cache_dir, compile_cache_on, monkeypatch):
     img = np.zeros((2160, 3840, 3), dtype=np.uint8)
 
-    # CPU backend in tests -> never wants pallas regardless of manifest.
     kernel_manifest.record_compile("rotate_blocked", 2160, 3840, 30.0)
-    assert not geometry._pallas_rotate_wanted(img, 30.0)
-
-    # Pretend-TPU: patch the backend probe to exercise the policy logic.
-    monkeypatch.setattr(geometry.jax, "default_backend", lambda: "tpu")
+    if jax.default_backend() != "tpu":
+        # CPU backend -> never wants pallas regardless of manifest;
+        # pretend-TPU below exercises the policy logic. Under
+        # IPT_TEST_TPU=1 the real backend validates it directly.
+        assert not geometry._pallas_rotate_wanted(img, 30.0)
+        monkeypatch.setattr(geometry.jax, "default_backend", lambda: "tpu")
     assert geometry._pallas_rotate_wanted(img, 30.0)  # auto: manifest hit
     assert not geometry._pallas_rotate_wanted(img, 31.0)  # auto: cold
     monkeypatch.setenv("IPT_PALLAS_ROTATE", "1")
