@@ -13,8 +13,10 @@ import os
 import sys
 
 if os.environ.get("IPT_PLATFORM"):
-    # Pin the JAX platform (e.g. IPT_PLATFORM=cpu for byte-exact float ops;
-    # the device paths carry a +-1 LSB budget). The container's sitecustomize
+    # Pin the JAX platform (e.g. IPT_PLATFORM=cpu for testing; float ops
+    # carry a +-1 LSB budget PER QUANTIZED f32 STAGE on any backend —
+    # stages compound across the reference's uint8 requantization points,
+    # see ops/common.py::float_stage_budget). The container's sitecustomize
     # pre-imports jax, so the env var alone is ignored — the in-process
     # config update below is what actually takes effect (see CLAUDE.md).
     import jax

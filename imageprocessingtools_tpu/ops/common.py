@@ -33,3 +33,26 @@ def as_f32(img: jnp.ndarray) -> jnp.ndarray:
 
 def as_i32(img: jnp.ndarray) -> jnp.ndarray:
     return img.astype(jnp.int32)
+
+
+def float_stage_budget(has_resize: bool, has_float_rotation: bool) -> int:
+    """Max |ours - reference| in LSB for a float-op chain.
+
+    The f32 device paths carry a +-1 LSB rounding budget PER QUANTIZED
+    STAGE vs the reference's f64 accumulation, and stages COMPOUND because
+    the reference requantizes to uint8 between them (``ppmx-edward.c:
+    1102-1120`` resize pass 1 -> pass 2; ``:1084-1155`` resize -> rotate):
+    a +-1 on a stage's uint8 output feeds the next stage's taps and can
+    stack with that stage's own +-1.
+
+    - resize alone: two internally-quantized passes -> 2
+    - arbitrary rotation alone: one quantized stage -> 1
+    - resize then rotation: -> 3
+
+    Empirically the compound cases are single-pixel-rare: the 2,080-case
+    CLI fuzz campaign's first two >1 hits (seeds 950088, 960030 — one
+    pixel each at exactly 2, FUZZ_CAMPAIGN_r04.json) are reproduced as
+    regression tests in tests/test_fuzz_differential.py, where the f64
+    golden model is verified bit-exact vs the C binary on the same cases.
+    """
+    return (2 if has_resize else 0) + (1 if has_float_rotation else 0)

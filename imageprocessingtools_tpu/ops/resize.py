@@ -9,8 +9,13 @@ single dense matmul on the MXU, with the reference's uint8 requantization
 between passes and its pass order (smaller scale factor first,
 ``ppmx-edward.c:1102-1120``).
 
-float32 accumulation vs the C double carries the documented +-1 LSB budget;
-the contributions themselves (indices, weights, pruning) are exact.
+float32 accumulation vs the C double carries the documented +-1 LSB budget
+PER QUANTIZED PASS; because the reference requantizes to uint8 between the
+two passes, a pass-1 flip can stack with pass-2's own rounding — worst
+observed |diff| is 2 at a single pixel (first hits after 2,080 fuzz
+campaign cases: seeds 950088/960030; see ops/common.py::float_stage_budget
+and the regression tests in tests/test_fuzz_differential.py). The
+contributions themselves (indices, weights, pruning) are exact.
 """
 
 from __future__ import annotations

@@ -2,7 +2,9 @@
 
 Same flag-combination rules and comparison budgets as
 tests/test_fuzz_differential.py (B1 combos avoided; exact combos compared
-byte-for-byte; float combos under the documented +-1 with P4 skipped), but
+byte-for-byte; float combos under the STAGE-AWARE budget of
+ops/common.py:float_stage_budget — +-1 per quantized f32 stage, compounding
+across the reference's uint8 requantization points — with P4 skipped), but
 with FRESH seeds and a much larger case count, run as a one-off evidence
 campaign (FUZZ_CAMPAIGN_r03.json). CPU backend for the in-process CLI.
 
@@ -174,6 +176,19 @@ def _has_float_op(args):
     )
 
 
+def _float_budget(args):
+    """Stage-aware LSB budget (ops/common.py:float_stage_budget): +-1 per
+    quantized f32 stage, compounding across the reference's uint8
+    requantization points — resize is two internal passes (2), arbitrary
+    rotation one stage (1)."""
+    has_w = any(a.startswith("-w") for a in args)
+    has_r = any(
+        a.startswith("-r") and a[2:] not in ("0", "90", "180", "270")
+        for a in args
+    )
+    return (2 if has_w else 0) + (1 if has_r else 0)
+
+
 def run_case(seed: int, lo: int, hi: int, workdir: str, thin: bool = False,
              malformed: bool = False):
     rng = np.random.default_rng(seed)
@@ -237,10 +252,20 @@ def run_case(seed: int, lo: int, hi: int, workdir: str, thin: bool = False,
         return case, "byte_mismatch"
     a = np.frombuffer(pay_r, np.uint8).astype(np.int16)
     b = np.frombuffer(pay_o, np.uint8).astype(np.int16)
-    if a.shape != b.shape or np.abs(a - b).max() > 1:
-        case["fail"] = f"float payload exceeds +-1 (max {np.abs(a-b).max()})"
+    budget = _float_budget(args)
+    md = int(np.abs(a - b).max()) if a.shape == b.shape else -1
+    if a.shape != b.shape or md > budget:
+        case["fail"] = (f"float payload exceeds stage budget {budget} "
+                        f"(max {md})")
         return case, "budget_exceeded"
-    case["maxdiff"] = int(np.abs(a - b).max())
+    case["maxdiff"] = md
+    if md > 1:
+        # Compound-rounding corner (+-1 per quantized stage stacking
+        # through the reference's uint8 requantization): rare, expected,
+        # within the documented budget. Logged distinctly so campaigns
+        # surface how often it fires.
+        case["budget"] = budget
+        return case, "compound_rounding_gt1"
     return case, "within_pm1"
 
 
@@ -288,6 +313,10 @@ def main():
                             "junk, non-digit values, leading zeros, atoi "
                             "wrap/saturate magnitudes, duplicate/conflict "
                             "orders, unknown/--/bare- flags, two filenames"),
+        "budget_model": ("stage-aware (+-1 per quantized f32 stage, "
+                         "compounding): resize=2, float rotation=1, "
+                         "chain=3; maxdiff>1 cases tallied as "
+                         "compound_rounding_gt1"),
         "small_range_px": [4, 40],
         "mid_range_px": [120, 320],
         "seed_ranges": {
