@@ -26,6 +26,8 @@ void ppmx_pack_bits(const uint8_t*, uint8_t*, uint32_t, uint32_t);
 int ppmx_encode_batch_files(const uint8_t*, size_t, size_t, int,
                             const char* const*, const uint8_t* const*,
                             const size_t*, int*, int);
+int ppmx_decode_batch_files(const char* const*, int, uint8_t*, uint32_t,
+                            uint32_t, int*, int);
 }
 
 static int failures = 0;
@@ -193,6 +195,64 @@ int main() {
     CHECK(enc_rcs[0] == 0 && enc_rcs[2] == 0 && enc_rcs[3] == 0 &&
               enc_rcs[4] == 0,
           "good files unaffected by the bad one");
+    // File-native batched DECODE over the files just written: payloads
+    // pread() directly into the batch tensor, per-file rc isolation for
+    // missing / truncated / straddling-header members.
+    enc_paths[1] = std::string(dir) + "/enc1.ppm";  // restore the good path
+    enc_cpaths.clear();
+    for (auto& p : enc_paths) enc_cpaths.push_back(p.c_str());
+    std::vector<uint8_t> dec_batch(n * stride, 0xEE);
+    std::vector<int> dec_rcs(n, -99);
+    CHECK(ppmx_decode_batch_files(enc_cpaths.data(), n, dec_batch.data(), ew,
+                                  eh, dec_rcs.data(), 3) == 0,
+          "file batch decodes");
+    CHECK(std::memcmp(dec_batch.data(), payloads.data(), n * stride) == 0,
+          "file batch payload bytes");
+    // Missing member + truncated member: only those files' rcs fail.
+    std::string truncated = std::string(dir) + "/trunc.ppm";
+    std::FILE* tf = std::fopen(truncated.c_str(), "wb");
+    CHECK(tf != nullptr, "truncated file created");
+    if (tf) {
+      std::fwrite(hdr.data(), 1, hdr.size(), tf);
+      std::fwrite(payloads.data(), 1, stride - 5, tf);
+      std::fclose(tf);
+    }
+    std::string missing = std::string(dir) + "/missing.ppm";
+    enc_paths[1] = missing;
+    enc_paths[3] = truncated;
+    enc_cpaths.clear();
+    for (auto& p : enc_paths) enc_cpaths.push_back(p.c_str());
+    std::fill(dec_rcs.begin(), dec_rcs.end(), -99);
+    CHECK(ppmx_decode_batch_files(enc_cpaths.data(), n, dec_batch.data(), ew,
+                                  eh, dec_rcs.data(), 2) != 0,
+          "bad members detected");
+    CHECK(dec_rcs[0] == 0 && dec_rcs[2] == 0 && dec_rcs[4] == 0,
+          "good files decode around bad ones");
+    CHECK(dec_rcs[1] == -10, "missing file rc is open-failure");
+    CHECK(dec_rcs[3] == -6, "truncated file rc is short-payload");
+    // Header straddling a 64 KB prefix exercises the whole-file heap path.
+    std::string bigc = std::string(dir) + "/bigc.ppm";
+    std::FILE* bf = std::fopen(bigc.c_str(), "wb");
+    CHECK(bf != nullptr, "bigc file created");
+    if (bf) {
+      std::fputs("P6\n#", bf);
+      for (int i = 0; i < 70000; ++i) std::fputc('x', bf);
+      std::fputs("\n9 4\n255\n", bf);
+      std::fwrite(payloads.data(), 1, stride, bf);
+      std::fclose(bf);
+      const char* bp = bigc.c_str();
+      int brc = -99;
+      std::fill(dec_batch.begin(), dec_batch.begin() + stride, 0xEE);
+      CHECK(ppmx_decode_batch_files(&bp, 1, dec_batch.data(), ew, eh, &brc,
+                                    1) == 0,
+            "straddling header decodes via whole-file retry");
+      CHECK(std::memcmp(dec_batch.data(), payloads.data(), stride) == 0,
+            "straddle payload bytes");
+      std::remove(bigc.c_str());
+    }
+    std::remove(truncated.c_str());
+    enc_paths[1] = std::string(dir) + "/enc1.ppm";
+    enc_paths[3] = std::string(dir) + "/enc3.ppm";
     for (auto& p : enc_paths) std::remove(p.c_str());
     rmdir(dir);
   }

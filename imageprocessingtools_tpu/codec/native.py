@@ -133,6 +133,16 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_uint32,
             ctypes.c_int,
         ]
+        lib.ppmx_decode_batch_files.restype = ctypes.c_int
+        lib.ppmx_decode_batch_files.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),    # paths
+            ctypes.c_int,                       # n
+            ctypes.c_void_p,                    # dst
+            ctypes.c_uint32,                    # w
+            ctypes.c_uint32,                    # h
+            ctypes.POINTER(ctypes.c_int),       # rcs
+            ctypes.c_int,                       # nthreads
+        ]
         lib.ppmx_pack_bits.restype = None
         lib.ppmx_pack_bits.argtypes = [
             ctypes.c_void_p,
@@ -242,6 +252,68 @@ def decode_batch(buffers: list[bytes], n_threads: int | None = None) -> tuple[np
     if rc != 0:
         raise _py.PPMError(_ERROR_MESSAGES[rc])
     return out, maxval
+
+
+def decode_batch_files(
+    paths: list[str],
+    h: int,
+    w: int,
+    n_threads: int | None = None,
+) -> tuple[np.ndarray, dict[int, tuple[str, str]]]:
+    """Decode N same-shape P6 FILES to uint8[N, H, W, 3], payloads pread()
+    directly into the output tensor.
+
+    The file-native twin of ``decode_batch``: where that takes already-read
+    ``bytes`` (page cache -> Python bytes -> memcpy, two full passes plus a
+    Python read loop), this hands the paths to the C++ side which preads
+    each payload straight into its row of the batch — one copy, no
+    intermediate buffers, threads overlapping I/O stalls (the reference
+    decodes one image per process with a getc() loop,
+    ``ppmx-edward.c:303-330``).
+
+    Returns ``(batch, failures)`` where ``failures`` maps input index ->
+    ``(kind, message)`` with ``kind`` in ``{"open", "ppm"}`` and ``message``
+    the stdout-parity surface; rows of failed files are undefined. A file
+    whose header dims disagree with ``(h, w)`` fails with the invalid-format
+    message (the caller's bucket shape is the header pass's claim). Falls
+    back to per-file Python reads + codec without a toolchain.
+    """
+    n = len(paths)
+    out = np.empty((n, h, w, 3), dtype=np.uint8)
+    failures: dict[int, tuple[str, str]] = {}
+    lib = _load()
+    if lib is None or not hasattr(lib, "ppmx_decode_batch_files"):
+        for i, p in enumerate(paths):
+            try:
+                with open(p, "rb") as f:
+                    img, _ = _py.decode_ppm(f.read())
+            except OSError:
+                failures[i] = ("open", "error. can not open file\n")
+                continue
+            except _py.PPMError as e:
+                failures[i] = ("ppm", e.message)
+                continue
+            if img.shape[:2] != (h, w):
+                failures[i] = ("ppm", "error. invalid file format.\n")
+                continue
+            out[i] = img
+        return out, failures
+    path_arr = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
+    rcs = (ctypes.c_int * n)()
+    if n_threads is None:
+        # I/O-bound like the batch encoder: threads overlap read stalls
+        # even on a 1-vCPU host (see encode_batch_files).
+        n_threads = min(16, n)
+    lib.ppmx_decode_batch_files(
+        path_arr, n, out.ctypes.data_as(ctypes.c_void_p), w, h, rcs, n_threads
+    )
+    for i in range(n):
+        rc = rcs[i]
+        if rc == -10:
+            failures[i] = ("open", "error. can not open file\n")
+        elif rc != 0:
+            failures[i] = ("ppm", _ERROR_MESSAGES.get(rc, _ERROR_MESSAGES[-2]))
+    return out, failures
 
 
 def encode_batch_files(

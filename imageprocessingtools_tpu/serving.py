@@ -344,52 +344,34 @@ def _to_host(out):
     return np.asarray(out)
 
 
-def _read_and_decode(paths, idxs, expected_hw=None, on_error="raise",
+def _read_and_decode(paths, idxs, expected_hw, on_error="raise",
                      failures=None):
-    """Read + batch-decode one chunk. With ``on_error="skip"``, a file that
-    fails to open or decode is dropped from the chunk (its message recorded
-    in ``failures[i]``) instead of failing the whole run: the batch is
-    re-decoded per file to isolate the bad one. Returns (kept_idxs, batch);
-    batch is None when nothing survived."""
-    buffers, kept = [], []
-    for i in idxs:
-        try:
-            with open(paths[i], "rb") as f:
-                buffers.append(f.read())
-            kept.append(i)
-        except OSError:
-            if on_error != "skip":
-                raise
-            failures[i] = "error. can not open file\n"
+    """Batch-decode one chunk of files straight into a contiguous tensor
+    (``native.decode_batch_files``: payloads pread() into their batch rows —
+    one page-cache->tensor copy, no per-file Python ``bytes``). With
+    ``on_error="skip"``, a file that fails to open or decode is dropped from
+    the chunk (its message recorded in ``failures[i]``); the per-file rc
+    surface of the native decoder isolates the bad file without a re-decode
+    pass. Returns (kept_idxs, batch); batch is None when nothing survived."""
+    h, w = expected_hw
+    batch, errs = native.decode_batch_files([paths[i] for i in idxs], h, w)
+    if not errs:
+        return list(idxs), batch
+    if on_error != "skip":
+        kind, msg = errs[min(errs)]
+        if kind == "open":
+            # Preserve the historical surface: an unreadable file raised the
+            # builtin OSError from open() on this path.
+            with open(paths[idxs[min(errs)]], "rb"):
+                pass
+            raise OSError(msg)  # opened on retry (race) — still fail fast
+        raise ppm.PPMError(msg)
+    for j, (_, msg) in errs.items():
+        failures[idxs[j]] = msg
+    kept = [i for j, i in enumerate(idxs) if j not in errs]
     if not kept:
         return [], None
-    try:
-        batch, _ = native.decode_batch(buffers)
-        return kept, batch
-    except ppm.PPMError:
-        if on_error != "skip":
-            raise
-        # Isolate the bad file(s) by decoding PER FILE — still through the
-        # NATIVE codec (a pure-Python re-decode of a 256-file 4K chunk
-        # would turn one corrupt file into minutes of host work).
-        imgs, kept2 = [], []
-        for i, buf in zip(kept, buffers):
-            try:
-                one, _ = native.decode_batch([buf])
-                img = one[0]
-            except ppm.PPMError as e:
-                failures[i] = e.message
-                continue
-            if expected_hw is not None and img.shape[:2] != expected_hw:
-                # Header prefix and payload decode disagree on dims (the
-                # bucket shape is the header's claim) — treat as corrupt.
-                failures[i] = "error. invalid file format.\n"
-                continue
-            imgs.append(img)
-            kept2.append(i)
-        if not kept2:
-            return [], None
-        return kept2, np.stack(imgs)
+    return kept, batch[np.array([j for j in range(len(idxs)) if j not in errs])]
 
 
 def _bucket_needs_strict_rotation(h: int, w: int, config: PipelineConfig) -> bool:

@@ -164,3 +164,70 @@ def test_encode_batch_files_noncontiguous_and_empty(tmp_path):
         with open(p, "rb") as f:
             assert f.read() == ppm.encode_ppm(batch[i])
     native.encode_batch_files([], batch[:0], ppm.FILETYPE_PPM, [])
+
+
+def test_decode_batch_files_matches_decode_batch(tmp_path):
+    imgs = [make_image(11, 7, seed=s) for s in range(9)]
+    paths = []
+    for i, im in enumerate(imgs):
+        p = tmp_path / f"f{i}.ppm"
+        ppm.write_ppm(str(p), im)
+        paths.append(str(p))
+    batch, errs = native.decode_batch_files(paths, 11, 7, n_threads=4)
+    assert not errs
+    ref, _ = native.decode_batch([open(p, "rb").read() for p in paths])
+    np.testing.assert_array_equal(batch, ref)
+
+
+@pytest.mark.parametrize(
+    "payload,kind,msg",
+    [
+        (b"P5\n2 2\n255\n" + b"\x00" * 12, "ppm", "error. invalid file format.\n"),
+        (b"P6\n2 2\n255\n" + b"\x00" * 8, "ppm", "Error: unexpected end of file.\n"),
+        (b"P6\n2 2\n255\n" + b"\x00" * 11, "ppm", "file format error\n"),
+        (None, "open", "error. can not open file\n"),  # missing file
+    ],
+)
+def test_decode_batch_files_error_surface(tmp_path, payload, kind, msg):
+    good = make_image(2, 2, seed=1)
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"g{i}.ppm"
+        ppm.write_ppm(str(p), good)
+        paths.append(str(p))
+    if payload is None:
+        paths[1] = str(tmp_path / "missing.ppm")
+    else:
+        paths[1] = str(tmp_path / "bad.ppm")
+        with open(paths[1], "wb") as f:
+            f.write(payload)
+    batch, errs = native.decode_batch_files(paths, 2, 2)
+    assert errs == {1: (kind, msg)}
+    np.testing.assert_array_equal(batch[0], good)
+    np.testing.assert_array_equal(batch[2], good)
+
+
+def test_decode_batch_files_dims_mismatch_is_invalid_format(tmp_path):
+    # The bucket shape is the header pass's claim; a file whose header
+    # disagrees decodes as corrupt, matching the serving skip-path surface.
+    p = tmp_path / "other.ppm"
+    ppm.write_ppm(str(p), make_image(5, 4, seed=2))
+    _, errs = native.decode_batch_files([str(p)], 3, 3)
+    assert errs == {0: ("ppm", "error. invalid file format.\n")}
+
+
+def test_decode_batch_files_header_straddles_prefix(tmp_path):
+    # A >64 KB comment run pushes the payload past the prefix read: the
+    # native decoder must retry over the whole file (heap path).
+    img = make_image(6, 5, seed=3)
+    p = tmp_path / "bigc.ppm"
+    with open(p, "wb") as f:
+        f.write(b"P6\n#" + b"x" * 70000 + b"\n5 6\n255\n" + img.tobytes())
+    batch, errs = native.decode_batch_files([str(p)], 6, 5)
+    assert not errs
+    np.testing.assert_array_equal(batch[0], img)
+
+
+def test_decode_batch_files_directory_is_open_failure(tmp_path):
+    _, errs = native.decode_batch_files([str(tmp_path)], 2, 2)
+    assert errs == {0: ("open", "error. can not open file\n")}

@@ -126,17 +126,36 @@ def main() -> None:
     # Component probe uses primary-shape files only (decode_batch is
     # same-shape by contract; mixed shapes are bucketed in the real run).
     chunk = (uniq * (args.max_batch // len(uniq) + 1))[: args.max_batch]
-    buffers = [open(p, "rb").read() for p in chunk]
+    for p in chunk:  # warm the page cache so both probes read warm files
+        open(p, "rb").read()
+    # What _read_and_decode actually runs (round 4): the FILE-native batch
+    # decoder — payloads pread() straight into the tensor, one copy.
     t_dec = []
     batch = None
     for _ in range(3):
         del batch  # free BEFORE the next alloc so the arena is reused
         batch = None
         t0 = time.perf_counter()
-        batch, _ = native.decode_batch(buffers)
+        batch, errs = native.decode_batch_files(chunk, h, w)
+        assert not errs
         t_dec.append(time.perf_counter() - t0)
     report["host_decode_mpix_s"] = round(
         len(chunk) * h * w / min(t_dec) / 1e6, 1)
+    # The round-3 path (Python read loop -> bytes -> decode_batch memcpy),
+    # kept for comparison. Note r03's probe timed decode_batch ALONE — the
+    # Python file reads it needs were outside the timed region, so its
+    # 1078.9 overstated the deployable component rate; this row times the
+    # whole byte path honestly.
+    t_dec_py = []
+    for _ in range(3):
+        del batch
+        batch = None
+        t0 = time.perf_counter()
+        buffers = [open(p, "rb").read() for p in chunk]
+        batch, _ = native.decode_batch(buffers)
+        t_dec_py.append(time.perf_counter() - t0)
+    report["host_decode_bytes_mpix_s"] = round(
+        len(chunk) * h * w / min(t_dec_py) / 1e6, 1)
     gray = batch.astype(np.uint16).sum(axis=3) // 3
     gray = gray.astype(np.uint8)
     enc_paths = [
