@@ -74,6 +74,10 @@ def main() -> None:
     ap.add_argument("--max-batch", type=int, default=64)
     ap.add_argument("--ab", action="store_true",
                     help="also time overlap=False on n/4 images")
+    ap.add_argument("--components-only", action="store_true",
+                    help="measure the component rates (tunnel, decode, "
+                         "encode, device pipeline) and skip the "
+                         "tunnel-bound end-to-end run")
     ap.add_argument("--workdir", default="/tmp/serving_bench")
     args = ap.parse_args()
 
@@ -200,6 +204,10 @@ def main() -> None:
         report["host_encode_mpix_s"],
         report["device_pipeline_mpix_s"],
     )
+
+    if args.components_only:
+        print(json.dumps(report, indent=2))
+        return
 
     # Warm the jit cache so the measured run is steady-state serving.
     serving.process_files(paths[: args.max_batch], config,
