@@ -70,7 +70,10 @@ def _shard_mapped_vmap(fn, mesh: Mesh, axis_name: str):
     out_specs need no collective). jit-of-shard_map keeps the dispatch
     cached like `_jitted_vmap`.
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # pre-0.8 jax only has the experimental spelling
+        from jax.experimental.shard_map import shard_map
 
     spec = P(axis_name)
     try:
