@@ -240,54 +240,3 @@ def equalize_histogram(img: np.ndarray) -> np.ndarray:
     lut = np.clip(lut, 0, 255).astype(np.uint8)
     return lut[img]
 
-
-def rotate_fast(img: np.ndarray, angle_deg: float) -> np.ndarray:
-    """float64 spec of ops.shear_rotate.rotate_fast (3-shear rotation).
-
-    Identical stage structure and plan; the device op matches this within
-    the +-1 f32 budget. NOT parity with `rotate` (separable resampling).
-    """
-    from imageprocessingtools_tpu.ops.shear_rotate import ShearRotatePlan, _decompose
-
-    quarter, residual = _decompose(angle_deg)
-    out = img
-    if quarter == 1:
-        out = rotate90(out)
-    elif quarter == 2:
-        out = rotate180(out)
-    elif quarter == 3:
-        out = rotate270(out)
-    if abs(residual) < 1e-12:
-        return out.copy()
-
-    squeeze = out.ndim == 2
-    if squeeze:
-        out = out[:, :, None]
-    h, w = out.shape[:2]
-    plan = ShearRotatePlan(h, w, residual)
-
-    def resample_rows(src, starts, fracs, out_w):
-        r, wid, ch = src.shape
-        lo = max(0, -int(starts.min()))
-        hi = max(0, int(starts.max()) + out_w + 3 - wid)
-        padded = np.pad(src, ((0, 0), (lo, hi), (0, 0)))
-        res = np.zeros((r, out_w, ch))
-        for k in range(4):
-            wk = _exact.cubic(fracs.astype(np.float64) + 1.0 - k)
-            for row in range(r):
-                s = starts[row] + lo
-                res[row] += padded[row, s + k : s + k + out_w] * wk[row]
-        return res
-
-    src = out.astype(np.float64)
-    pad_top = max(0, -plan.w0)
-    pad_bot = max(0, plan.w0 + plan.h1_count - h)
-    banded = np.pad(src, ((pad_top, pad_bot), (0, 0), (0, 0)))
-    banded = banded[plan.w0 + pad_top : plan.w0 + pad_top + plan.h1_count]
-    i1 = resample_rows(banded, plan.c1_int - 1, plan.c1_frac, plan.u_count)
-    i1_t = i1.swapaxes(0, 1)
-    i2_t = resample_rows(i1_t, plan.c2_int - 1, plan.c2_frac, plan.new_h)
-    i2 = i2_t.swapaxes(0, 1)
-    res = resample_rows(i2, plan.c3_int - 1, plan.c3_frac, plan.new_w)
-    res = np.clip(np.floor(res + 0.5), 0, 255).astype(np.uint8)
-    return res[:, :, 0] if squeeze else res
