@@ -23,6 +23,14 @@ Serve options (extensions, hence the ``--`` prefix space):
                     FANS OUT: all presets run in one device dispatch per
                     chunk (decode + host->device upload paid once for N
                     outputs) and each writes <input>.<preset><suffix>
+    --fanout SPEC   fan out REFERENCE op-flag pipelines: SPEC is
+                    ';'-separated groups of op flags (e.g.
+                    '-w1920 -gray;-mono;-r30'); every group runs in one
+                    device dispatch per chunk over the shared decode +
+                    upload, writing <input>.<tag><suffix> where <tag> is
+                    the group's flags in pipeline order (w1920-gray).
+                    Mutually exclusive with bare op flags; composes with
+                    --preset (presets join the same fan-out dispatch)
     --suffix S      output filename suffix (default ".out"; must be
                     non-empty so inputs are never overwritten)
     --resume        skip inputs whose output file already exists, so an
@@ -64,8 +72,8 @@ def main(argv: list[str] | None = None) -> int:
 
     enable_persistent_cache()
     serve_opts = {"spatial": False, "max_batch": 256, "overlap": True,
-                  "mesh": False, "preset": None, "suffix": ".out",
-                  "resume": False, "skip_bad": False}
+                  "mesh": False, "preset": None, "fanout": None,
+                  "suffix": ".out", "resume": False, "skip_bad": False}
     op_args: list[str] = []
     files: list[str] = []
     i = 0
@@ -96,6 +104,12 @@ def main(argv: list[str] | None = None) -> int:
                 sys.stdout.write("Error: --preset needs a name\n")
                 return 255
             serve_opts["preset"] = argv[i]
+        elif a == "--fanout":
+            i += 1
+            if i >= len(argv) or not argv[i].strip():
+                sys.stdout.write("Error: --fanout needs op-flag groups\n")
+                return 255
+            serve_opts["fanout"] = argv[i]
         elif a == "--suffix":
             i += 1
             if i >= len(argv) or not argv[i]:
@@ -114,26 +128,58 @@ def main(argv: list[str] | None = None) -> int:
     if not files:
         sys.stdout.write("Error: no input files\n")
         return 255
+    preset_names: list[str] = []
     if serve_opts["preset"] is not None:
         from imageprocessingtools_tpu.models import PRESETS
 
         if op_args:
             sys.stdout.write("Error: --preset excludes op flags\n")
             return 255
-        names = serve_opts["preset"].split(",")
-        for n in names:
+        preset_names = serve_opts["preset"].split(",")
+        for n in preset_names:
             if n not in PRESETS:
                 sys.stdout.write(
                     "Error: unknown preset %r; available: %s\n"
                     % (n, " ".join(sorted(PRESETS)))
                 )
                 return 255
-        if len(set(names)) != len(names):
+        if len(set(preset_names)) != len(preset_names):
             sys.stdout.write(
                 "Error: duplicate preset in %r\n" % (serve_opts["preset"],)
             )
             return 255
-        config = names[0] if len(names) == 1 else tuple(names)
+    fanout_configs: list = []
+    if serve_opts["fanout"] is not None:
+        if op_args:
+            sys.stdout.write("Error: --fanout excludes bare op flags\n")
+            return 255
+        for group in serve_opts["fanout"].split(";"):
+            flags = group.split()
+            if not flags:
+                sys.stdout.write("Error: empty --fanout group\n")
+                return 255
+            try:
+                # Validate each group with the reference parser (it needs
+                # exactly one filename, so feed it the first file).
+                cfg, _ = _parse_args(flags + [files[0]])
+            except _CliError as e:
+                sys.stdout.write(e.message)
+                return 255
+            fanout_configs.append(cfg)
+    if fanout_configs:
+        # --fanout always uses fan-out naming (<input>.<tag><suffix>),
+        # even for one group; --preset names join the same dispatch.
+        from imageprocessingtools_tpu.serving import _fanout_pipeline_fn
+
+        config = tuple(preset_names) + tuple(fanout_configs)
+        try:
+            _fanout_pipeline_fn(config)  # duplicate-tag check up front
+        except ValueError as e:
+            sys.stdout.write("Error: %s\n" % (str(e).strip(),))
+            return 255
+    elif preset_names:
+        config = (preset_names[0] if len(preset_names) == 1
+                  else tuple(preset_names))
     else:
         try:
             # Validate the op flags with the reference parser (it needs
@@ -149,11 +195,15 @@ def main(argv: list[str] | None = None) -> int:
 
         sfx = serve_opts["suffix"]
         if isinstance(config, tuple):
-            # Fan-out: a file counts as done only when EVERY preset's
-            # output exists (a partial file reruns all presets — they
+            from imageprocessingtools_tpu.serving import config_tag
+
+            # Fan-out: a file counts as done only when EVERY element's
+            # output exists (a partial file reruns all elements — they
             # share one dispatch anyway).
+            tags = [config_tag(n) for n in config]
+
             def _done(p):
-                return all(os.path.exists(p + "." + n + sfx) for n in config)
+                return all(os.path.exists(p + "." + t + sfx) for t in tags)
         else:
             def _done(p):
                 return os.path.exists(p + sfx)
@@ -193,12 +243,13 @@ def main(argv: list[str] | None = None) -> int:
                         continue
                 if isinstance(config, tuple):
                     # Spatial mode processes ONE giant image at a time, so
-                    # fan-out runs per preset (no batch upload to
+                    # fan-out runs per element (no batch upload to
                     # amortize).
                     outs.append([
                         serving.process_file_spatial(
                             p, n, mesh=mesh,
-                            suffix="." + n + serve_opts["suffix"])
+                            suffix="." + serving.config_tag(n)
+                                   + serve_opts["suffix"])
                         for n in config
                     ])
                 else:
@@ -236,7 +287,7 @@ def main(argv: list[str] | None = None) -> int:
     log.emit("serve_ok", n_files=len(outs), skipped=n_skipped,
              failed=len(failures), wall_s=round(wall, 3))
     existing = (
-        f".<preset>{serve_opts['suffix']}" if isinstance(config, tuple)
+        f".<tag>{serve_opts['suffix']}" if isinstance(config, tuple)
         else serve_opts["suffix"]
     )
     resume_note = (

@@ -59,24 +59,57 @@ def _preset_pipeline_fn(name: str):
     return one, file_type
 
 
+def config_tag(item) -> str:
+    """Stable output-name tag for one fan-out element: the preset name for
+    a string, or the reference flags in fixed pipeline order for a
+    `PipelineConfig` (e.g. ``PipelineConfig(new_width=1920, gray=True)`` ->
+    ``"w1920-gray"``). Fan-out outputs are written to
+    ``<path>.<tag><suffix>``."""
+    if isinstance(item, str):
+        return item
+    parts = []
+    if item.new_width is not None:
+        parts.append(f"w{int(item.new_width)}")
+    if item.angle is not None:
+        a = float(item.angle)
+        parts.append(f"r{int(a)}" if a.is_integer() else f"r{a}")
+    if item.gray:
+        parts.append("gray")
+    if item.mono:
+        parts.append("mono")
+    if item.flip_v:
+        parts.append("fv")
+    if item.flip_h:
+        parts.append("fh")
+    if not parts:  # quirk B2: the reference requires at least one op
+        raise ValueError("Error: no data to write\n")
+    return "-".join(parts)
+
+
 @functools.lru_cache(maxsize=32)
-def _fanout_pipeline_fn(names: tuple):
-    """(single-image fn returning one output PER preset, file_types tuple)
-    for a tuple of preset names — FAN-OUT serving.
+def _fanout_pipeline_fn(items: tuple):
+    """(single-image fn returning one output PER element, file_types tuple)
+    for a tuple of preset names and/or `PipelineConfig`s — FAN-OUT serving.
 
     One traced function means ONE device dispatch per chunk: the uint8
     batch is decoded, transferred, and read from HBM once, and every
-    preset's compute shares it. Host->device transfer is the measured
+    element's compute shares it. Host->device transfer is the measured
     serving bottleneck here (~5-15 MB/s each way through the tunnel,
-    CLAUDE.md), so N presets for one upload is nearly N-fold cheaper than
-    N single-preset passes; on a full slice the shared decode + HBM read
+    CLAUDE.md), so N pipelines for one upload is nearly N-fold cheaper than
+    N single-config passes; on a full slice the shared decode + HBM read
     still amortizes. XLA additionally CSEs shared prefixes (edge_detect /
-    enhance / print_ready all start with the same grayscale)."""
-    if not names:
-        raise ValueError("empty preset list")
-    if len(set(names)) != len(names):
-        raise ValueError(f"duplicate preset names: {sorted(names)}")
-    parts = [_preset_pipeline_fn(n) for n in names]  # validates each name
+    enhance / print_ready all start with the same grayscale; reference
+    configs sharing a resize target share the weight matmuls)."""
+    if not items:
+        raise ValueError("empty fan-out list")
+    tags = [config_tag(it) for it in items]  # validates B2 per element
+    if len(set(tags)) != len(tags):
+        raise ValueError(f"duplicate fan-out outputs: {sorted(tags)}")
+    parts = [
+        _preset_pipeline_fn(it) if isinstance(it, str)
+        else (_pipeline_fn(it), it.file_type)
+        for it in items  # _preset_pipeline_fn validates each name
+    ]
     fns = tuple(p[0] for p in parts)
     file_types = tuple(p[1] for p in parts)
 
@@ -88,7 +121,8 @@ def _fanout_pipeline_fn(names: tuple):
 
 def _task_fn(config) -> tuple:
     """(single-image fn, file_type) for a PipelineConfig, preset name, or
-    tuple of preset names (fan-out; file_type is then a tuple too)."""
+    tuple of preset names / PipelineConfigs (fan-out; file_type is then a
+    tuple too)."""
     if isinstance(config, tuple):
         return _fanout_pipeline_fn(config)
     if isinstance(config, str):
@@ -131,8 +165,9 @@ def process_batch(images: np.ndarray, config: PipelineConfig | str | tuple,
 
     ``config`` is a PipelineConfig (reference ops), a preset name from
     `models.PRESETS` (extension pipelines; P4 presets pack bits on device),
-    or a tuple of preset names (fan-out: returns a tuple of outputs and a
-    tuple of file_types from ONE device dispatch over the shared batch).
+    or a tuple of preset names and/or PipelineConfigs (fan-out: returns a
+    tuple of outputs and a tuple of file_types from ONE device dispatch
+    over the shared batch).
     With a mesh, the batch axis is sharded; a batch that does not divide the
     mesh size is padded (repeating the last image) up to the next multiple
     and the padding sliced off the result, so remainder chunks work.
@@ -405,12 +440,13 @@ def process_files(
 
     ``config`` is a PipelineConfig (the reference's six-flag pipeline), a
     preset name from `models.PRESETS` (extension pipelines served with the
-    same bucketing/overlap machinery), or a tuple/list of preset names —
-    FAN-OUT: every preset runs in one device dispatch per chunk, so the
-    decode and the host->device upload (the serving bottleneck through the
-    tunnel) are paid once for N outputs. Fan-out writes
-    ``<path>.<preset><suffix>`` per preset and returns a list of per-input
-    path lists instead of a flat path list.
+    same bucketing/overlap machinery), or a tuple/list of preset names
+    and/or PipelineConfigs — FAN-OUT: every element runs in one device
+    dispatch per chunk, so the decode and the host->device upload (the
+    serving bottleneck through the tunnel) are paid once for N outputs.
+    Fan-out writes ``<path>.<tag><suffix>`` per element (`config_tag`:
+    the preset name, or the reference flags like ``w1920-gray``) and
+    returns a list of per-input path lists instead of a flat path list.
 
     Files are bucketed by (H, W) so each unique shape compiles once; each
     bucket is decoded with the native batched codec and processed on device
@@ -440,10 +476,12 @@ def process_files(
     # payloads are read per chunk so host memory stays bounded by a few
     # chunks, not the whole file set.
     fanout_names: tuple | None = None
+    fanout_tags: tuple | None = None
     if isinstance(config, (tuple, list)):
         fanout_names = tuple(config)
         config = fanout_names
-        _fanout_pipeline_fn(fanout_names)  # validate names early
+        _fanout_pipeline_fn(fanout_names)  # validate elements early
+        fanout_tags = tuple(config_tag(x) for x in fanout_names)
 
     idx_failures: dict[int, str] = {}
     metas = []
@@ -500,6 +538,48 @@ def process_files(
                                   max_color=metas[i][2])
                 out_paths[i] = out_path
             continue
+        if fanout_names is not None and any(
+            isinstance(c, PipelineConfig)
+            and _bucket_needs_strict_rotation(h, w, c)
+            for c in fanout_names
+        ):
+            # Same audit guard as the single-config bucket above, for a
+            # fan-out tuple containing a flagged rotation geometry: the
+            # whole bucket runs eagerly per file, flagged configs through
+            # the bit-exact host path, the rest through the jitted single
+            # fn (rare safety path — the committed angle sweep is clean).
+            for i in all_idxs:
+                try:
+                    with open(paths[i], "rb") as f:
+                        img, _ = ppm.decode_ppm(f.read())
+                except (ppm.PPMError, OSError) as e:
+                    if on_error != "skip":
+                        raise
+                    idx_failures[i] = (
+                        e.message if isinstance(e, ppm.PPMError)
+                        else "error. can not open file\n"
+                    )
+                    continue
+                for k, c in enumerate(fanout_names):
+                    if isinstance(c, PipelineConfig):
+                        res, ft = run_pipeline(img, c, strict_rotation=True)
+                        res_np = np.asarray(res)
+                    else:
+                        one, ft = _preset_pipeline_fn(c)
+                        res_np = np.asarray(_jitted_single(one)(img))
+                    out_path = paths[i] + "." + fanout_tags[k] + suffix
+                    if ft == FILETYPE_PBM:
+                        if isinstance(c, PipelineConfig):
+                            # preset fns pack bits on device; the host
+                            # run_pipeline result is still unpacked
+                            res_np = np.packbits(res_np, axis=1)
+                        dims = _task_unpacked_shape(c, h, w)
+                        _write_p4(out_path, res_np, dims[0], dims[1])
+                    else:
+                        ppm.write_ppm(out_path, res_np, file_type=ft,
+                                      max_color=metas[i][2])
+                    out_paths[i][k] = out_path
+            continue
         # Pre-pack spatial dims (resize/rotate may change them before mono).
         if fanout_names is not None:
             unpacked: tuple = tuple(
@@ -520,7 +600,7 @@ def process_files(
                 out, file_type = process_batch(batch, config, mesh=mesh)
                 _encode_chunk(kept, _to_host(out), file_type, unpacked,
                               paths, metas, suffix, out_paths,
-                              names=fanout_names)
+                              names=fanout_tags)
             continue
 
         decode_q: queue.Queue = queue.Queue(maxsize=2)
@@ -548,7 +628,7 @@ def process_files(
                     if item is None:
                         return
                     _encode_chunk(*item, paths, metas, suffix, out_paths,
-                                  names=fanout_names)
+                                  names=fanout_tags)
             except BaseException as e:
                 errors.append(e)
 
