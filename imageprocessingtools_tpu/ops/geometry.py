@@ -393,23 +393,37 @@ def _blocked_plan(height: int, width: int, angle: float,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("new_h", "new_w", "bh", "bw", "n_g", "n_k", "G", "L"),
+    static_argnames=(
+        "new_h", "new_w", "bh", "bw", "n_g", "n_k", "G", "L", "zone_hw",
+    ),
 )
 def _rotate_apply_blocked(
     img, axh, axl, bxh, bxl, ayh, ayl, byh, byl, sy, sx, xc, yc,
+    row_base=None,
     *, new_h: int, new_w: int, bh: int, bw: int, n_g: int, n_k: int,
     G: int = _BLOCK_G, L: int = _BLOCK_L,
+    zone_hw: tuple[int, int] | None = None,
 ):
     """Device side of the blocked path (see module comment above).
 
     Inputs: split f64 geometry terms reshaped to tiles (axh/axl/ayh/ayl
     [n_k, L]; bxh/bxl/byh/byl [n_g, G]); block starts sy/sx [n_g, n_k].
     lax.scan over output row-groups, vmap over column chunks.
+
+    ``zone_hw`` gives the GLOBAL (height, width) for the zone/bounds
+    decisions when ``img`` is only a row WINDOW of the full image (the
+    spatial band-exchange path passes each device its m-shard band);
+    default: ``img``'s own dims. ``row_base`` is the window's global
+    starting row: ``sy`` stays GLOBAL (the tap geometry needs it) and is
+    rebased by ``row_base`` only where the source block is sliced out of
+    the window.
     """
     squeeze = img.ndim == 2
     if squeeze:
         img = img[:, :, None]
-    height, width, nch = img.shape
+    win_h, win_w, nch = img.shape
+    height, width = zone_hw if zone_hw is not None else (win_h, win_w)
+    base_row = jnp.int32(0) if row_base is None else row_base
     P = G * L
     planes = jnp.stack([img[:, :, c] for c in range(nch)], axis=0)  # [C,H,W]
     col_iota = jnp.arange(bw, dtype=jnp.int32)[:, None]
@@ -439,7 +453,7 @@ def _rotate_apply_blocked(
             for t in range(4)
         )
         blk = jax.lax.dynamic_slice(
-            planes, (0, syk, sxk), (nch, bh, bw)
+            planes, (0, syk - base_row, sxk), (nch, bh, bw)
         ).astype(jnp.float32)
         h1 = jax.lax.dot_general(                          # [C, BH, P] on MXU
             blk, w_x, (((2,), (0,)), ((), ())),

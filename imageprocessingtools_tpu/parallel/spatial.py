@@ -313,15 +313,25 @@ def _resize_spatial_cached(height: int, width: int, new_width: int,
 # Spatial (output-row-sharded) arbitrary-angle ROTATION.
 #
 # Unlike resize, a rotated output row band's source taps span
-# cos*dH + sin*W input rows — at typical angles nearly (or more than) the
-# full input height — so a halo exchange is the WRONG collective: the right
-# one is a single uint8 all-gather of the input, after which each shard runs
-# the blocked-MXU rotation (`ops.geometry._rotate_apply_blocked`) on ONLY
-# its own output row-groups. Per device this moves (n-1)/n * H*W*C uint8
-# bytes over ICI, versus GSPMD's all-reduce of the full f32 output
-# (~8x more bytes at typical geometries) — and the compute is an even
-# 1/n split of row-groups with zero cross-shard math, so the result is
-# bit-identical to the single-device op by construction.
+# cos*dH + sin*W input rows — at MID angles nearly (or more than) the
+# full input height — so a fixed-depth halo exchange is the wrong
+# collective there: the right one is a single uint8 all-gather of the
+# input, after which each shard runs the blocked-MXU rotation
+# (`ops.geometry._rotate_apply_blocked`) on ONLY its own output
+# row-groups. Per device this moves (n-1)/n * H*W*C uint8 bytes over ICI,
+# versus GSPMD's all-reduce of the full f32 output (~8x more bytes at
+# typical geometries) — and the compute is an even 1/n split of
+# row-groups with zero cross-shard math, so the result is bit-identical
+# to the single-device op by construction.
+#
+# At SMALL folded angles, though, sin*W + cos*(outH/n) + taps << H: each
+# device's source band spans only m << n input shards, so the round-5
+# BAND EXCHANGE ppermutes exactly those m shards (m slot-permutes, window
+# assembled per device, block starts rebased into it) instead of
+# all-gathering — m/(n-1) of the gather bytes, same bit-identical math.
+# The m-shard windows come from the actual plan's per-device sy range on
+# host, so reversed/offset group->row maps at any angle are handled; the
+# gate `m <= n - 2` keeps the all-gather whenever it moves fewer bytes.
 # ---------------------------------------------------------------------------
 
 
@@ -372,6 +382,85 @@ def _gspmd_rotate_fn(angle: float, mesh: Mesh):
     return run
 
 
+def _band_windows(sy_dev: np.ndarray, bh: int, S: int, n: int):
+    """Host plan for the small-angle BAND EXCHANGE, or None for all-gather.
+
+    ``sy_dev`` [n, n_g_loc, n_k]: per-device source block-start rows. Each
+    device needs source shards ``starts[d]..starts[d]+m-1`` (m = the
+    widest per-device span, window start clamped into range so every slot
+    is a real shard). A shard may be wanted by SEVERAL devices (clamping /
+    slope < 1) and `lax.ppermute` forbids duplicate sources, so the edge
+    set is decomposed into matchings (unique src AND dst per call); the
+    receiver places each call's tile at its own per-device window slot via
+    `dynamic_update_slice` (slot m is a dummy row-range for calls in which
+    a device receives nothing). Returns
+    (m, starts, base_rows, matchings, slot_arr); None when the band
+    would not move strictly fewer bytes than the (n-1)-shard all-gather.
+    """
+    s_lo = [int(sy_dev[d].min()) // S for d in range(n)]
+    s_hi = [(int(sy_dev[d].max()) + bh - 1) // S for d in range(n)]
+    m = max(hi - lo + 1 for lo, hi in zip(s_lo, s_hi))
+    while m * S < bh:  # window must hold one source block
+        m += 1
+    if m > n - 2:  # all-gather moves fewer (or equal) bytes
+        return None
+    starts = np.array([min(lo, n - m) for lo in s_lo], dtype=np.int32)
+    base_rows = (starts * S).astype(np.int32)                # [n]
+    edges = [(int(starts[d]) + j, d, j) for d in range(n) for j in range(m)]
+    matchings: list[list[tuple[int, int, int]]] = []
+    for e in edges:
+        for mt in matchings:
+            if all(e[0] != x[0] and e[1] != x[1] for x in mt):
+                mt.append(e)
+                break
+        else:
+            matchings.append([e])
+    slot_arr = np.full((n, len(matchings)), m, dtype=np.int32)
+    for c, mt in enumerate(matchings):
+        for s, d, j in mt:
+            slot_arr[d, c] = j
+    # Paranoia: every group's rebased block start must land inside the
+    # window with full bh rows (guaranteed by construction; a violation
+    # here means a plan bug, so fall back rather than clamp-corrupt).
+    reb = sy_dev - base_rows[:, None, None]
+    if not bool((reb >= 0).all() and (reb + bh <= m * S).all()):
+        return None
+    return m, starts, base_rows, matchings, slot_arr
+
+
+def rotate_band_info(height: int, width: int, angle: float, n: int):
+    """Host-only introspection: the band-exchange decision for a geometry.
+
+    Returns None when the geometry has no blocked plan or the all-gather
+    is chosen; else a dict with the window width ``m`` (shards ppermuted
+    per device), the matching count (ppermute calls per step), and the
+    per-device ICI byte ratio vs the all-gather ((n-1) shards)."""
+    from imageprocessingtools_tpu.ops import geometry as _g
+
+    if height % n or angle in (0.0, 90.0, 180.0, 270.0):
+        return None
+    plan = _g._blocked_plan(height, width, float(angle))
+    if plan is None:
+        return None
+    _, _, bh, _, n_g, n_k, _, sy, _, _, _ = plan
+    G = _g._BLOCK_G
+    n_g2 = -(-n_g // n) * n
+    sy2 = sy.reshape(n_g, n_k)
+    if n_g2 != n_g:
+        sy2 = np.concatenate(
+            [sy2, np.repeat(sy2[-1:], n_g2 - n_g, axis=0)], axis=0)
+    S = height // n
+    bw_plan = _band_windows(sy2.reshape(n, n_g2 // n, n_k), bh, S, n)
+    if bw_plan is None:
+        return None
+    m, _, _, matchings, _ = bw_plan
+    return {
+        "m": m,
+        "ppermute_calls": len(matchings),
+        "bytes_ratio_vs_all_gather": round(m / (n - 1), 3),
+    }
+
+
 @functools.lru_cache(maxsize=32)
 def _rotate_spatial_cached(height: int, width: int, angle: float,
                            mesh: Mesh, axis_name: str):
@@ -405,26 +494,70 @@ def _rotate_spatial_cached(height: int, width: int, angle: float,
     sy2, sx2 = pad_g(sy, (n_k,)), pad_g(sx, (n_k,))
     n_g_loc = n_g2 // n
 
-    def body(tile, bxh_l, bxl_l, byh_l, byl_l, sy_l, sx_l,
-             axh_r, axl_r, ayh_r, ayl_r):
-        full = lax.all_gather(tile, axis_name, tiled=True)   # uint8[H, W, C]
-        return _g._rotate_apply_blocked(
-            full, axh_r, axl_r, bxh_l, bxl_l, ayh_r, ayl_r, byh_l, byl_l,
-            sy_l, sx_l, xc, yc,
-            new_h=n_g_loc * G, new_w=n_k * L, bh=bh, bw=bw,
-            n_g=n_g_loc, n_k=n_k, G=G, L=L,
-        )
+    # Small-folded-angle BAND EXCHANGE: device d's output row-groups read
+    # source rows [min(sy_d), max(sy_d)+bh) — at small folded angles that
+    # band spans only a few input shards (sin*W + cos*(outH/n) + taps << H),
+    # so ppermuting the m needed shards beats all-gathering the whole image
+    # ((n-1) shards per device). The per-device shard windows are computed
+    # on HOST from the actual plan (handles reversed/offset group->row maps
+    # at any angle); the window start is clamped so every slot's source
+    # index is in range, making each slot one total ppermute (sources may
+    # repeat: XLA collective-permute multicasts; each dest appears once).
+    S = height // n
+    sy_dev = sy2.reshape(n, n_g_loc, n_k)
+    bw_plan = _band_windows(sy_dev, bh, S, n)
+    band = bw_plan is not None
+    if band:
+        m, starts, base_rows, matchings, slot_arr = bw_plan
+
+    if band:
+
+        def body(tile, base_r, slot_r, bxh_l, bxl_l, byh_l, byl_l,
+                 sy_l, sx_l, axh_r, axl_r, ayh_r, ayl_r):
+            window = jnp.zeros(((m + 1) * S,) + tile.shape[1:], tile.dtype)
+            for c, mt in enumerate(matchings):
+                recv = lax.ppermute(
+                    tile, axis_name, [(s, d) for s, d, _ in mt])
+                window = lax.dynamic_update_slice(
+                    window, recv, (slot_r[0, c] * S, 0, 0))
+            window = window[: m * S]                       # uint8[m*S, W, C]
+            return _g._rotate_apply_blocked(
+                window, axh_r, axl_r, bxh_l, bxl_l, ayh_r, ayl_r,
+                byh_l, byl_l, sy_l, sx_l, xc, yc, base_r[0],
+                new_h=n_g_loc * G, new_w=n_k * L, bh=bh, bw=bw,
+                n_g=n_g_loc, n_k=n_k, G=G, L=L,
+                zone_hw=(height, width),
+            )
+
+        extra_in = (jnp.asarray(base_rows), jnp.asarray(slot_arr))
+        extra_specs = (P(axis_name), P(axis_name))
+    else:
+
+        def body(tile, bxh_l, bxl_l, byh_l, byl_l, sy_l, sx_l,
+                 axh_r, axl_r, ayh_r, ayl_r):
+            full = lax.all_gather(tile, axis_name, tiled=True)  # u8[H, W, C]
+            return _g._rotate_apply_blocked(
+                full, axh_r, axl_r, bxh_l, bxl_l, ayh_r, ayl_r,
+                byh_l, byl_l, sy_l, sx_l, xc, yc,
+                new_h=n_g_loc * G, new_w=n_k * L, bh=bh, bw=bw,
+                n_g=n_g_loc, n_k=n_k, G=G, L=L,
+            )
+
+        extra_in = ()
+        extra_specs = ()
 
     rep = NamedSharding(mesh, P())
     sharded_fn = jax.jit(
         shard_map(
             body, mesh=mesh,
-            in_specs=(P(axis_name),) + (P(axis_name),) * 6 + (P(),) * 4,
+            in_specs=(P(axis_name),) + extra_specs
+            + (P(axis_name),) * 6 + (P(),) * 4,
             out_specs=P(axis_name),
         ),
-        in_shardings=(sharding,) + (sharding,) * 6 + (rep,) * 4,
+        in_shardings=(sharding,) + (sharding,) * len(extra_specs)
+        + (sharding,) * 6 + (rep,) * 4,
     )
-    plan_arrays = (
+    plan_arrays = extra_in + (
         jnp.asarray(bxh2), jnp.asarray(bxl2),
         jnp.asarray(byh2), jnp.asarray(byl2),
         jnp.asarray(sy2), jnp.asarray(sx2),

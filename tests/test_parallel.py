@@ -170,6 +170,42 @@ def test_spatial_rotate_bit_identical(n_shards, angle):
     np.testing.assert_array_equal(out, np.asarray(ipt.rotate(img, angle)))
 
 
+@pytest.mark.parametrize("angle", [3.0, 5.0, 12.0, 175.0, 185.0, 355.0])
+def test_spatial_rotate_band_exchange_small_angles(angle):
+    """Small folded angles take the round-5 BAND EXCHANGE (m-shard
+    ppermute windows instead of the full all-gather) and stay bit-identical
+    to the single-device op. Covers reversed group->row maps (175/185)
+    and clamped windows at the mesh edges."""
+    from imageprocessingtools_tpu.parallel.spatial import rotate_band_info
+
+    img = make_image(256, 256, seed=int(angle))
+    n = min(8, len(jax.devices()))
+    mesh = Mesh(np.asarray(jax.devices()[:n]), ("sp",))
+    info = rotate_band_info(256, 256, angle, n)
+    assert info is not None and info["m"] <= n - 2, info
+    out = np.asarray(rotate_spatial(_sharded(img, mesh), angle, mesh))
+    np.testing.assert_array_equal(out, np.asarray(ipt.rotate(img, angle)))
+
+
+def test_spatial_rotate_band_gate_mid_angles():
+    """Mid folded angles keep the all-gather: their source band spans
+    nearly the whole height, so the band would move MORE bytes."""
+    from imageprocessingtools_tpu.parallel.spatial import rotate_band_info
+
+    for angle in (30.0, 45.0, 135.0, 225.0):
+        assert rotate_band_info(256, 256, angle, 8) is None, angle
+
+
+def test_spatial_rotate_band_bytes_ratio():
+    """The band moves m/(n-1) of the all-gather's per-device ICI bytes."""
+    from imageprocessingtools_tpu.parallel.spatial import rotate_band_info
+
+    info = rotate_band_info(512, 512, 3.0, 8)
+    assert info is not None
+    assert info["bytes_ratio_vs_all_gather"] == round(info["m"] / 7, 3)
+    assert info["bytes_ratio_vs_all_gather"] < 1.0
+
+
 def test_spatial_rotate_permutation_and_small_fallback():
     mesh = Mesh(np.asarray(jax.devices()[:4]), ("sp",))
     img = make_image(120, 160, seed=9)
