@@ -364,7 +364,10 @@ def _fold_diag_blocks(big: jnp.ndarray) -> jnp.ndarray:
 def _hist_kernel(v_ref, out_ref):
     step = pl.program_id(0)
     tr, w = v_ref.shape
-    counts = _hist_slab_counts(v_ref, tr, w)
+    # Per-step counts are exact in f32 (<= tr*w < 2^24 per bin per step);
+    # the CROSS-step accumulator is int32 so any H*W stays exact (round 5:
+    # this lifted the 2^24-pixel cap).
+    counts = _hist_slab_counts(v_ref, tr, w).astype(jnp.int32)
 
     @pl.when(step == 0)
     def _():
@@ -390,15 +393,10 @@ def histogram_pallas(gray: jnp.ndarray, block_rows: int | None = None):
     """uint8[H, W] -> int32[256]; exact, in-VMEM Pallas kernel.
 
     Compiles and runs ON HARDWARE (round 3): the lane-major one-hot dot
-    needs no shape cast (see `_hist_rows_acc`). The f32 bin accumulator is
-    integer-exact up to 2^24 per bin, so images with H*W >= 2^24 delegate
-    to the chunked XLA op (`ops.histogram`) instead of risking silent
-    wrap — the function stays a drop-in at any size.
+    needs no shape cast (see `_hist_rows_acc`). Exact at ANY H*W since
+    round 5: per-grid-step counts are f32-exact (<= tile pixels < 2^24
+    per bin) and the cross-step accumulator is int32.
     """
-    if gray.shape[0] * gray.shape[1] >= 2**24:
-        from imageprocessingtools_tpu.ops.histogram import histogram as _xla_hist
-
-        return _xla_hist(gray)
     br = _resolve_block_rows(gray.shape[0], block_rows, radius=1, default=64)
     br = max(8, br - br % 8)  # slab processing needs 8-row multiples
     h, w0 = gray.shape
@@ -413,7 +411,7 @@ def histogram_pallas(gray: jnp.ndarray, block_rows: int | None = None):
         grid=(padded_h // br,),
         in_specs=[pl.BlockSpec((br, w), lambda i: (i, 0), memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((128, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((128, 128), jnp.int32),
         interpret=_interpret(),
     )(gray)
     hist = _fold_diag_blocks(big)
@@ -623,6 +621,10 @@ def _gray_gauss_hist_kernel(h_real, w_real, hist_from_reg,
     else:
         counts = _hist_slab_counts(out_ref, tr, w, valid_rows=mask,
                                    w_real=w_real)
+    # Per-step counts are f32-exact (<= tr*w < 2^24 per bin); the
+    # cross-step accumulator is int32, so the histogram is exact at ANY
+    # H*W (round 5: this lifted the mega kernel's 2^24-pixel cap).
+    counts = counts.astype(jnp.int32)
 
     @pl.when(step == 0)
     def _():
@@ -665,7 +667,7 @@ def _gray_gauss_hist_call(img: jnp.ndarray, block_rows: int,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((ph, w), jnp.uint8),
-            jax.ShapeDtypeStruct((128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((128, 128), jnp.int32),
         ],
         interpret=_interpret(),
     )(*(planes * 3))
@@ -683,8 +685,10 @@ def gray_gauss_hist_pallas(img: jnp.ndarray, block_rows: int | None = None,
     Any width since round 4: W % 128 != 0 shapes are column-EDGE-padded to
     a lane multiple (blur-exact at the right edge) and the padding lanes
     masked out of the in-kernel histogram (`w_real` -> expanded value -1,
-    the same mechanism as the row mask). Requires H >= 8 and H*W < 2^24
-    (exact f32 bin counts); other shapes take the two-step path
+    the same mechanism as the row mask). Any H*W since round 5: per-step
+    bin counts are f32-exact (<= tile pixels < 2^24) and the cross-step
+    accumulator is int32, so 8K frames run the one-pass flagship too.
+    Requires H >= 8; smaller images take the two-step path
     (`gray_gauss_pallas` + the XLA nibble-MXU histogram, same results).
 
     ``hist_from_reg`` histograms the in-register blurred tile (static slab
@@ -698,10 +702,11 @@ def gray_gauss_hist_pallas(img: jnp.ndarray, block_rows: int | None = None,
     # br=32 beat br=16 in 14/14 interleaved rounds at 4K (median 0.90x).
     br = _resolve_block_rows(h0, block_rows, radius=2, default=32)
     br = max(8, br - br % 8)  # slab processing needs 8-row multiples
-    if h0 < 8 or h0 * w >= 2**24:
-        # >= 2^24 px joins the two-step fallback (instead of raising, so the
-        # mega variant stays a drop-in): the in-kernel f32 bins would lose
-        # integer exactness, but the XLA histogram chunks for it.
+    w_lanes = w + ((-w) % 128)
+    if h0 < 8 or br * w_lanes >= 2**24:
+        # H < 8 can't form one slab; a (theoretical) >= 2^24-px TILE would
+        # break the per-step f32 bin exactness (needs W >= ~520k at br=32).
+        # Both join the two-step fallback so the variant stays a drop-in.
         from imageprocessingtools_tpu.ops.histogram import histogram as _xla_hist
 
         blurred = gray_gauss_pallas(img, block_rows=block_rows)
