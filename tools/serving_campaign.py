@@ -1,0 +1,231 @@
+"""The literal BASELINE row-5 campaign: N x 4K files through `serve --resume`.
+
+The round-4 receipt demonstrated 256 x 4K; this driver holds the full-scale
+receipt (default 4096 x 3840x2160 = 34 GPix through decode -> device gray ->
+encode). Disk on this box cannot hold 4096 unique 4K P6s (~102 GB) plus
+outputs at once, so the campaign runs in WAVES: generate `--wave` unique
+random images (content seeded by GLOBAL index — every one of the 4096 is
+distinct data), push them through the real `serve` CLI subprocess
+(`-gray --resume --skip-bad --max-batch N`), byte-spot-check a sample
+against the single-image CLI path, then delete the wave and continue. The
+wave state file makes the whole campaign resumable across interruptions
+(exactly what --resume + the state is for); within a wave, serve --resume
+skips already-produced outputs.
+
+    python tools/serving_campaign.py --total 4096 --wave 512 \
+        --out SERVING_r05.json
+
+Next-wave generation overlaps the current wave's serve run (generation is
+host-CPU/disk; serve is tunnel-bound here).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from imageprocessingtools_tpu.codec import ppm
+
+H, W = 2160, 3840
+
+
+def wave_paths(workdir: str, wave: int, count: int, total: int) -> list[str]:
+    lo = wave * count
+    return [os.path.join(workdir, f"c{j:05d}.ppm")
+            for j in range(lo, min(lo + count, total))]
+
+
+def generate_wave(paths: list[str]) -> float:
+    t0 = time.time()
+    for p in paths:
+        if os.path.exists(p):
+            continue
+        j = int(os.path.basename(p)[1:6])
+        img = np.random.default_rng(424200 + j).integers(
+            0, 256, size=(H, W, 3), dtype=np.uint8)
+        ppm.write_ppm(p, img)
+    return time.time() - t0
+
+
+def spot_check(paths: list[str], rng: np.random.Generator, k: int = 3) -> list:
+    """Byte-compare serve outputs vs the single-image CLI for k files."""
+    results = []
+    for i in rng.choice(len(paths), size=min(k, len(paths)), replace=False):
+        p = paths[int(i)]
+        single = p + ".single"
+        shutil.copy(p, single)
+        r = subprocess.run(
+            [sys.executable, "-m", "imageprocessingtools_tpu.cli",
+             "-gray", single],
+            capture_output=True, cwd="/root/repo")
+        ok = r.returncode == 0
+        if ok:
+            with open(single + ".out", "rb") as f1, open(p + ".out", "rb") as f2:
+                ok = f1.read() == f2.read()
+            os.unlink(single + ".out")
+        os.unlink(single)
+        results.append({"file": os.path.basename(p), "identical": bool(ok)})
+    return results
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--total", type=int, default=4096)
+    ap.add_argument("--wave", type=int, default=512)
+    ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--workdir", default="/root/campaign_r05")
+    ap.add_argument("--out", default="SERVING_r05.json")
+    ap.add_argument("--state", default=None,
+                    help="wave-state path (default <workdir>/state.json)")
+    args = ap.parse_args()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    state_path = args.state or os.path.join(args.workdir, "state.json")
+    state = {"waves": []}
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            state = json.load(f)
+    done_waves = {w["wave"] for w in state["waves"]}
+    n_waves = -(-args.total // args.wave)
+    rng = np.random.default_rng(5)
+
+    gen_thread = None
+    next_gen: list[float] = []
+
+    def gen_async(paths):
+        next_gen.append(generate_wave(paths))
+
+    t_campaign = time.time()
+    for wv in range(n_waves):
+        if wv in done_waves:
+            continue
+        paths = wave_paths(args.workdir, wv, args.wave, args.total)
+        if gen_thread is not None:
+            gen_thread.join()
+            gen_thread = None
+            gen_s = next_gen.pop() if next_gen else 0.0
+        else:
+            gen_s = generate_wave(paths)
+        # overlap: generate the NEXT wave while this one serves
+        for nxt in range(wv + 1, n_waves):
+            if nxt not in done_waves:
+                npaths = wave_paths(args.workdir, nxt, args.wave, args.total)
+                gen_thread = threading.Thread(
+                    target=gen_async, args=(npaths,), daemon=True)
+                gen_thread.start()
+                break
+
+        free_gb = shutil.disk_usage(args.workdir).free / 1e9
+        t0 = time.time()
+        # No /usr/bin/time on this box: an atexit hook in the child prints
+        # its own peak RSS after serve.main returns.
+        wrapper = (
+            "import atexit, resource, runpy, sys\n"
+            "atexit.register(lambda: sys.stderr.write(\n"
+            "    'MAXRSS_KB=%d\\n'\n"
+            "    % resource.getrusage(resource.RUSAGE_SELF).ru_maxrss))\n"
+            "sys.argv = ['serve'] + sys.argv[1:]\n"
+            "runpy.run_module('imageprocessingtools_tpu.serve',"
+            " run_name='__main__')\n"
+        )
+        r = subprocess.run(
+            [sys.executable, "-c", wrapper, "-gray", "--resume",
+             "--skip-bad", "--max-batch", str(args.max_batch), *paths],
+            capture_output=True, text=True, cwd="/root/repo")
+        wall = time.time() - t0
+        if r.returncode != 0:
+            print(f"wave {wv}: serve rc={r.returncode}\n{r.stdout[-500:]}"
+                  f"\n{r.stderr[-1000:]}", file=sys.stderr)
+            sys.exit(1)
+        rss_kb = 0
+        for line in r.stderr.splitlines():
+            if line.startswith("MAXRSS_KB="):
+                rss_kb = int(line.split("=")[1])
+        missing = [p for p in paths if not os.path.exists(p + ".out")]
+        checks = spot_check(paths, rng)
+        rec = {
+            "wave": wv,
+            "n_files": len(paths),
+            "gen_s": round(gen_s, 1),
+            "serve_wall_s": round(wall, 1),
+            "serve_summary": next(
+                (ln for ln in r.stderr.splitlines()
+                 if "files processed" in ln), ""),
+            "peak_rss_mb": round(rss_kb / 1024, 1),
+            "missing_outputs": len(missing),
+            "spot_checks": checks,
+            "free_gb_before": round(free_gb, 1),
+            "mpix_s": round(len(paths) * H * W / wall / 1e6, 2),
+        }
+        ok = not missing and all(c["identical"] for c in checks)
+        if not ok:
+            print(f"wave {wv} FAILED: {rec}", file=sys.stderr)
+            sys.exit(1)
+        # wave verified -> reclaim the disk
+        for p in paths:
+            os.unlink(p)
+            os.unlink(p + ".out")
+        state["waves"].append(rec)
+        with open(state_path, "w") as f:
+            json.dump(state, f, indent=2)
+        print(f"wave {wv}/{n_waves - 1}: {wall:.0f}s serve, "
+              f"{rec['mpix_s']} MPix/s, rss {rec['peak_rss_mb']} MB",
+              file=sys.stderr, flush=True)
+
+    waves = sorted(state["waves"], key=lambda w: w["wave"])
+    total_files = sum(w["n_files"] for w in waves)
+    serve_wall = sum(w["serve_wall_s"] for w in waves)
+    doc = {
+        "date": time.strftime("%Y-%m-%d"),
+        "command": (f"python tools/serving_campaign.py --total {args.total} "
+                    f"--wave {args.wave} --max-batch {args.max_batch}"),
+        "n_images": total_files,
+        "dims": [H, W],
+        "unique_contents": total_files,
+        "op": "gray",
+        "max_batch": args.max_batch,
+        "total_mpix": round(total_files * H * W / 1e6, 1),
+        "bytes_in_gb": round(total_files * (H * W * 3 + 43) / 1e9, 1),
+        "bytes_out_gb": round(total_files * (H * W + 42) / 1e9, 1),
+        "serve_wall_s_sum": round(serve_wall, 1),
+        "campaign_wall_s_this_run": round(time.time() - t_campaign, 1),
+        "end_to_end_mpix_s": round(total_files * H * W / serve_wall / 1e6, 2),
+        "images_per_s": round(total_files / serve_wall, 3),
+        "peak_rss_mb_max": max(w["peak_rss_mb"] for w in waves),
+        "spot_checks_total": sum(len(w["spot_checks"]) for w in waves),
+        "spot_checks_all_identical": all(
+            c["identical"] for w in waves for c in w["spot_checks"]),
+        "waves": waves,
+        "note": (
+            "Wave-structured because 4096 unique 4K P6 inputs (~102 GB) + "
+            "outputs exceed this VM's disk; every image is unique random "
+            "content (global-index seed), processed through the real serve "
+            "CLI with --resume (which also skips within-wave repeats on "
+            "restart) and deleted only after output presence + byte "
+            "spot-checks vs the single-image CLI pass. End-to-end here is "
+            "tunnel-transfer-bound (~5-15 MB/s each way, CLAUDE.md); "
+            "SERVING_r04.json holds the component rates (decode ~1.1 "
+            "GPix/s, native encode ~2.8 GPix/s, device ~6.1 GPix/s) that "
+            "bound a host-attached deployment."
+        ),
+    }
+    with open(args.out, "w") as f:
+        json.dump(doc, f, indent=2)
+        f.write("\n")
+    print(json.dumps({k: doc[k] for k in (
+        "n_images", "end_to_end_mpix_s", "serve_wall_s_sum",
+        "spot_checks_all_identical")}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -18,7 +18,17 @@ against the single-image path for the same file:
   - a resume round: delete a random subset of outputs, re-run through the
     serve CLI with --resume, and require exactly the deleted ones redone.
 
-    python tools/serving_fuzz.py [n_rounds] [seed_base] > SERVING_FUZZ_r03.json
+Round 5 adds SPATIAL rounds (`run_spatial_round`, VERDICT #5): every 4th
+round (or all of them with --spatial) drives `serve --spatial` /
+`process_file_spatial` over random giant-ish shapes — H not divisible by
+the mesh (divisor-submesh fallback), spatial presets incl. the P4 one,
+reference configs biased toward resample stages (halo resize, band-
+exchange/all-gather rotation), the "fused" pipeline, and a skip-bad
+probe — each output differentially checked against the single-device
+path.
+
+    python tools/serving_fuzz.py [n_rounds] [seed_base] [--spatial] \
+        > SERVING_FUZZ_r05.json
 """
 
 from __future__ import annotations
@@ -234,14 +244,154 @@ def run_round(seed: int, workdir: str) -> tuple[dict, list[str]]:
     return rec, fails
 
 
+def run_spatial_round(seed: int, workdir: str) -> tuple[dict, list[str]]:
+    """Randomized differential fuzz of the SPATIAL surface (round 5,
+    VERDICT #5): `process_file_spatial` / `serve --spatial` — giant-ish
+    shapes incl. H not divisible by the mesh (divisor-submesh fallback),
+    spatial presets incl. the P4 one, reference configs with resample
+    stages (halo resize + band-exchange/all-gather rotation), the "fused"
+    pipeline — every output checked against the single-device path."""
+    import jax as _jax
+
+    rng = np.random.default_rng(seed)
+    fails: list[str] = []
+    rec: dict = {"seed": seed, "kind": "spatial"}
+    n_dev = len(_jax.devices())
+
+    # Giant-ish shapes relative to the mesh; H divisible by the full mesh
+    # about half the time, else odd/partial -> submesh or 1-device path.
+    n_files = int(rng.integers(2, 4))
+    shapes = []
+    for _ in range(n_files):
+        if rng.random() < 0.5 and n_dev > 1:
+            h = int(rng.integers(3, 30)) * n_dev
+        else:
+            h = int(rng.integers(17, 220))
+        w = int(rng.integers(16, 200))
+        shapes.append((h, w))
+    paths, imgs = [], []
+    for i, (h, w) in enumerate(shapes):
+        p = os.path.join(workdir, f"sp{seed}_f{i}.ppm")
+        img = np.random.default_rng(seed ^ (104729 * i + 7)).integers(
+            0, 256, (h, w, 3), dtype=np.uint8)
+        ppm.write_ppm(p, img)
+        paths.append(p)
+        imgs.append(img)
+    rec["shapes"] = [list(s) for s in shapes]
+
+    task_kind = int(rng.integers(0, 3))
+    if task_kind == 0:
+        # Reference config biased toward resample stages.
+        args = []
+        w0 = shapes[0][1]
+        if rng.random() < 0.75:
+            nw = int(rng.integers(max(w0 // 2, 8), 2 * w0))
+            # B7 domain (truncated new_height == 0 for ANY file in the
+            # set) is the CLI campaign's job; keep this set feasible.
+            if all(h * nw // w >= 2 for h, w in shapes):
+                args.append(f"-w{nw}")
+        if rng.random() < 0.6:
+            args.append(f"-r{int(rng.integers(1, 360))}")
+        r = rng.random()
+        if r < 0.3:
+            args.append("-gray")
+        elif r < 0.5:
+            args.append("-mono")
+        if rng.random() < 0.4:
+            args.append("-fv" if rng.random() < 0.5 else "-fh")
+        if not args:
+            args = ["-gray"]
+        rec["task"] = args
+        rc = serve.main(["--spatial", "--suffix", ".sp", *args, *paths])
+        if rc != 0:
+            return rec, [f"serve --spatial rc={rc} for {args}"]
+        is_float = _has_float_op(args)
+        for i, p in enumerate(paths):
+            rc = cli.main(args + [p])
+            if rc != 0:
+                fails.append(f"cli.main failed on {p}")
+                continue
+            exp = open(p + ".out", "rb").read()
+            got = open(p + ".sp", "rb").read()
+            if not is_float:
+                if got != exp:
+                    fails.append(f"spatial exact combo differs: {p} {args}")
+            elif exp[:2] == b"P4":
+                pass  # +-1 may flip dither bits; CLI-campaign rule
+            else:
+                err = _compare_pm1(got, exp)
+                if err:
+                    fails.append(f"spatial float combo {err}: {p} {args}")
+    elif task_kind == 1:
+        name = PRESET_NAMES[int(rng.integers(0, len(PRESET_NAMES)))]
+        rec["task"] = name
+        rc = serve.main(["--spatial", "--suffix", ".sp", "--preset", name,
+                         *paths])
+        if rc != 0:
+            return rec, [f"serve --spatial --preset {name} rc={rc}"]
+        for p in paths:
+            serving.process_files([p], name, suffix=".one")
+            exp = open(p + ".one", "rb").read()
+            got = open(p + ".sp", "rb").read()
+            if name == "thumbnail":
+                if exp[:2] != got[:2]:
+                    fails.append(f"spatial thumbnail magic differs: {p}")
+                else:
+                    err = _compare_pm1(got, exp)
+                    if err:
+                        fails.append(f"spatial thumbnail {err}: {p}")
+            elif got != exp:
+                fails.append(f"spatial preset {name} differs: {p}")
+    else:
+        rec["task"] = "fused"
+        from imageprocessingtools_tpu.kernels.fused import (
+            fused_gray_gauss_histeq,
+        )
+
+        for i, p in enumerate(paths):
+            out_p = serving.process_file_spatial(p, "fused", suffix=".sp")
+            got, _, ft = ppm.read_pnm(out_p)
+            exp = np.asarray(fused_gray_gauss_histeq(imgs[i]))
+            if ft != ppm.FILETYPE_PGM or got.shape != exp.shape:
+                fails.append(f"fused spatial shape/type differs: {p}")
+            elif not (got == exp).all():
+                fails.append(f"fused spatial pixels differ: {p}")
+
+    # skip-bad through the spatial path: one corrupt file must be skipped
+    # and reported without sinking the run.
+    if rng.random() < 0.4:
+        bad_p = os.path.join(workdir, f"sp{seed}_bad.ppm")
+        with open(bad_p, "wb") as f:
+            f.write(b"P5 1 1 255 x")
+        rc = serve.main(["--spatial", "--skip-bad", "--suffix", ".sb",
+                         "-gray", bad_p, paths[0]])
+        if rc != 0:
+            fails.append("spatial --skip-bad rc != 0")
+        if os.path.exists(bad_p + ".sb"):
+            fails.append("spatial --skip-bad produced output for bad file")
+        if not os.path.exists(paths[0] + ".sb"):
+            fails.append("spatial --skip-bad dropped the good neighbour")
+        rec["skip_bad_probe"] = True
+
+    return rec, fails
+
+
 def main() -> None:
-    n_rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 40
-    seed_base = int(sys.argv[2]) if len(sys.argv) > 2 else 300_000
+    argv = [a for a in sys.argv[1:] if a != "--spatial"]
+    spatial_only = "--spatial" in sys.argv[1:]
+    n_rounds = int(argv[0]) if len(argv) > 0 else 40
+    seed_base = int(argv[1]) if len(argv) > 1 else 300_000
     t0 = time.time()
     rounds, failures = [], []
     with tempfile.TemporaryDirectory() as workdir:
         for i in range(n_rounds):
-            rec, fails = run_round(seed_base + i, workdir)
+            # --spatial: every round spatial; default: every 4th round.
+            if spatial_only or i % 4 == 3:
+                rec, fails = run_spatial_round(seed_base + i, workdir)
+                rec["n_files"] = len(rec.get("shapes", []))
+                rec["n_bad"] = 0
+            else:
+                rec, fails = run_round(seed_base + i, workdir)
             if fails:
                 rec["FAIL"] = fails
                 failures.append(rec)
@@ -251,7 +401,8 @@ def main() -> None:
         tally[r["kind"]] = tally.get(r["kind"], 0) + 1
     doc = {
         "date": time.strftime("%Y-%m-%d"),
-        "command": f"python tools/serving_fuzz.py {n_rounds} {seed_base}",
+        "command": (f"python tools/serving_fuzz.py {n_rounds} {seed_base}"
+                    + (" --spatial" if spatial_only else "")),
         "n_rounds": n_rounds,
         "seed_base": seed_base,
         "task_mix": tally,
