@@ -23,3 +23,16 @@ def test_serving_fuzz_round(seed):
     with tempfile.TemporaryDirectory() as workdir:
         rec, fails = run_round(seed, workdir)
     assert not fails, (rec, fails)
+
+
+@pytest.mark.parametrize("seed", [7101, 7102])
+def test_serving_fuzz_spatial_round(seed):
+    """CI slice of the round-5 spatial fuzz class (SERVING_FUZZ_r05.json:
+    24 fresh-seed rounds at base 1100000, zero failures): serve --spatial /
+    process_file_spatial over random shapes incl. submesh fallback,
+    spatial presets incl. P4, fused pipelines, and skip-bad."""
+    from serving_fuzz import run_spatial_round
+
+    with tempfile.TemporaryDirectory() as workdir:
+        rec, fails = run_spatial_round(seed, workdir)
+    assert not fails, (rec, fails)

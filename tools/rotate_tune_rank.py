@@ -168,6 +168,9 @@ def main() -> None:
         merge(sys.argv[sys.argv.index("--merge") + 1])
         return
     angles = DEFAULT_ANGLES
+    out_path = None
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
     if "--angles" in sys.argv:
         angles = [float(a) for a in sys.argv[sys.argv.index("--angles") + 1:]]
     eager = os.environ.get("IPT_TUNE_EAGER") == "1"
@@ -194,6 +197,10 @@ def main() -> None:
         row = probe_angle(a, eager)
         row["wall_s"] = round(time.time() - t0, 1)
         doc["angles"].append(row)
+        if out_path:  # incremental: an interruption keeps finished angles
+            with open(out_path, "w") as f:
+                json.dump(doc, f, indent=2)
+                f.write("\n")
     json.dump(doc, sys.stdout, indent=2)
     print()
 

@@ -178,10 +178,20 @@ def main() -> None:
         state["waves"].append(rec)
         with open(state_path, "w") as f:
             json.dump(state, f, indent=2)
+        # Write the artifact incrementally so an interruption still leaves
+        # an honest partial receipt (complete=false) next to the wave state.
+        write_doc(state, args, t_campaign)
         print(f"wave {wv}/{n_waves - 1}: {wall:.0f}s serve, "
               f"{rec['mpix_s']} MPix/s, rss {rec['peak_rss_mb']} MB",
               file=sys.stderr, flush=True)
 
+    doc = write_doc(state, args, t_campaign)
+    print(json.dumps({k: doc[k] for k in (
+        "n_images", "complete", "end_to_end_mpix_s", "serve_wall_s_sum",
+        "spot_checks_all_identical")}, indent=2))
+
+
+def write_doc(state: dict, args, t_campaign: float) -> dict:
     waves = sorted(state["waves"], key=lambda w: w["wave"])
     total_files = sum(w["n_files"] for w in waves)
     serve_wall = sum(w["serve_wall_s"] for w in waves)
@@ -190,6 +200,7 @@ def main() -> None:
         "command": (f"python tools/serving_campaign.py --total {args.total} "
                     f"--wave {args.wave} --max-batch {args.max_batch}"),
         "n_images": total_files,
+        "complete": total_files >= args.total,
         "dims": [H, W],
         "unique_contents": total_files,
         "op": "gray",
@@ -222,9 +233,7 @@ def main() -> None:
     with open(args.out, "w") as f:
         json.dump(doc, f, indent=2)
         f.write("\n")
-    print(json.dumps({k: doc[k] for k in (
-        "n_images", "end_to_end_mpix_s", "serve_wall_s_sum",
-        "spot_checks_all_identical")}, indent=2))
+    return doc
 
 
 if __name__ == "__main__":
