@@ -357,6 +357,44 @@ def test_tuned_gl_plumbing(monkeypatch, tmp_path):
     geometry._load_rotation_tuning.cache_clear()
 
 
+def test_tuned_pallas_gl_v2_schema(monkeypatch, tmp_path):
+    """Schema-v2 `pallas` sub-entries (tools/rotate_tune_rank.py --merge):
+    `_tuned_pallas_gl` reads the per-bucket kernel tile on TPU backends and
+    `pallas_profitable` honors the `pallas_ok` veto regardless of backend."""
+    import json
+
+    import jax
+
+    from imageprocessingtools_tpu.kernels import pallas_rotate as pr
+
+    p = tmp_path / "v2.json"
+    p.write_text(json.dumps({"buckets": {
+        "3": {"G": 16, "L": 128,
+              "pallas": {"G": 32, "L": 128, "vs_xla_median_ratio": 0.97,
+                         "rep_angle": 30.0},
+              "pallas_ok": True},
+        "4": {"G": 16, "L": 128,
+              "pallas": {"G": 16, "L": 128, "vs_xla_median_ratio": 1.21,
+                         "rep_angle": 135.0},
+              "pallas_ok": False},
+    }}))
+    monkeypatch.setattr(geometry, "_TUNING_PATH", str(p))
+    geometry._load_rotation_tuning.cache_clear()
+    try:
+        if jax.default_backend() == "tpu":
+            assert pr._tuned_pallas_gl(30.0) == (32, 128)
+            assert pr._tuned_pallas_gl(330.0) == (32, 128)  # folds to 30
+            assert pr._tuned_pallas_gl(15.0) is None        # bucket unprobed
+        else:
+            # Hardware probe table: never consulted on CPU backends.
+            assert pr._tuned_pallas_gl(30.0) is None
+        # The pallas_ok=False veto holds on any backend (bucket 4: 45/135).
+        assert pr.pallas_profitable(2160, 3840, 135.0) is False
+        assert pr.pallas_profitable(2160, 3840, 45.0) is False
+    finally:
+        geometry._load_rotation_tuning.cache_clear()
+
+
 @pytest.mark.parametrize("variants", [
     frozenset({"ydot"}),
     frozenset({"packgather"}),

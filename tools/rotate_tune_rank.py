@@ -140,8 +140,7 @@ def merge(path: str) -> None:
         ent = table["buckets"].setdefault(b, {})
         gx, lx = row["xla_winner"].removeprefix("xla_").split("x")
         # A bucket probed at two angles (45 + 135 both fold to bucket 4):
-        # keep the FIRST winner unless the second disagrees with a better
-        # mean rank — then record both probes for the record.
+        # the XLA entry keeps the first probe's winner (all_ms records it).
         if "G" not in ent:
             ent.update(G=int(gx), L=int(lx), rep_angle=row["angle"],
                        ms=row["report"][row["xla_winner"]]["median_ms"],
@@ -150,13 +149,19 @@ def merge(path: str) -> None:
                        all_ms={n: v["median_ms"]
                                for n, v in row["report"].items()})
         if "pallas_winner" in row:
-            gp, lp = row["pallas_winner"].removeprefix("pallas_").split("x")
-            ent["pallas"] = {
-                "G": int(gp), "L": int(lp),
-                "vs_xla_median_ratio": row["pallas_vs_xla_median_ratio"],
-                "rep_angle": row["angle"],
-            }
-            ent["pallas_ok"] = row["pallas_vs_xla_median_ratio"] <= 1.02
+            # A bucket probed at two angles (45 + 135 both fold to 4): keep
+            # the WORSE ratio — the dispatch gate must respect the worst
+            # probed case in the bucket.
+            prev = ent.get("pallas", {}).get("vs_xla_median_ratio", -1.0)
+            if row["pallas_vs_xla_median_ratio"] >= prev:
+                gp, lp = row["pallas_winner"].removeprefix(
+                    "pallas_").split("x")
+                ent["pallas"] = {
+                    "G": int(gp), "L": int(lp),
+                    "vs_xla_median_ratio": row["pallas_vs_xla_median_ratio"],
+                    "rep_angle": row["angle"],
+                }
+                ent["pallas_ok"] = row["pallas_vs_xla_median_ratio"] <= 1.02
     with open(_g._TUNING_PATH, "w") as f:
         json.dump(table, f, indent=2)
         f.write("\n")
