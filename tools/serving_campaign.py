@@ -64,10 +64,17 @@ def spot_check(paths: list[str], rng: np.random.Generator, k: int = 3) -> list:
         p = paths[int(i)]
         single = p + ".single"
         shutil.copy(p, single)
+        # IPT_PLATFORM=cpu: -gray is integer-exact on every backend and the
+        # CPU single-image path is itself binary-validated vs the C oracle
+        # (tests/test_golden_vs_c.py), so byte-equality here proves the same
+        # serving-machinery identity while keeping the tunnel free for the
+        # waves (an eager 4K CLI dispatch costs ~10 min in a congested
+        # window vs ~20 s on host).
         r = subprocess.run(
             [sys.executable, "-m", "imageprocessingtools_tpu.cli",
              "-gray", single],
-            capture_output=True, cwd="/root/repo")
+            capture_output=True, cwd="/root/repo",
+            env={**os.environ, "IPT_PLATFORM": "cpu"})
         ok = r.returncode == 0
         if ok:
             with open(single + ".out", "rb") as f1, open(p + ".out", "rb") as f2:
